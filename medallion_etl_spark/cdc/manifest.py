@@ -1,0 +1,52 @@
+"""Commit manifest accessors — the exactly-once ledger.
+
+The manifest itself lives INSIDE the LakeTable metadata document (see
+table.py) so that "data visible" and "batch recorded" change in one
+atomic pointer swap; this module exposes it as a DataFrame and as
+replay-planning helpers.
+
+Exactly-once invariant: a batch is applied iff its batch_id is in the
+manifest; apply_batch() no-ops on committed ids; a kill between data
+write and commit leaves the id absent, so resume re-applies — and the
+apply is deterministic (same chunk -> same logical result), so the
+final state is independent of how many times replay was killed and
+resumed. This is the engineered version of the reference's idempotent
+delete+insert-by-range convergence (reference sales_loader.py:64-73,
+orchestrator.py:480-509) without its BUG-001 visibility window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import MANIFEST_SCHEMA
+from .table import LakeTable
+
+
+def manifest_df(spark: SparkSession, table: LakeTable) -> DataFrame:
+    rows = [
+        (bid, rec["lsn_lo"], rec["lsn_hi"], "committed", None)
+        for bid, rec in sorted(table.committed_batches().items())
+    ]
+    return spark.createDataFrame(rows, MANIFEST_SCHEMA)
+
+
+def pending_chunks(table: LakeTable, chunks: list[tuple[int, int, int]]) -> list[tuple[int, int, int]]:
+    """Filter a planned (batch_id, lsn_lo, lsn_hi) chunk list down to
+    the ones not yet committed."""
+    return [c for c in chunks if not table.is_committed(c[0])]
+
+
+def plan_chunks(lsn_min: int, lsn_max: int, chunk_size: int) -> list[tuple[int, int, int]]:
+    """Deterministic chunk plan: batch_id i covers lsn in
+    [lsn_min + i*chunk_size, next) — stable across resumes because it
+    depends only on the stream bounds and chunk size."""
+    chunks = []
+    i = 0
+    lo = lsn_min
+    while lo <= lsn_max:
+        hi = min(lo + chunk_size - 1, lsn_max)
+        chunks.append((i, lo, hi))
+        lo = hi + 1
+        i += 1
+    return chunks

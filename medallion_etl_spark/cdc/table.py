@@ -1,0 +1,195 @@
+"""LakeTable: a minimal Iceberg-style table format on plain Parquet.
+
+The sandbox has no Iceberg/Delta jars, so exactly-once upserts are
+built from first principles the same way those formats do it:
+
+- **Immutable data files**, grouped into hash buckets:
+  ``bucket = pmod(xxhash64(doc_id), n_buckets)``. An upsert batch only
+  rewrites the buckets that contain changed keys (copy-on-write at
+  bucket granularity); untouched buckets keep their existing files.
+  At 100 TB this is the difference between rewriting the table per
+  batch and rewriting ~|batch|-proportional data.
+- **Versioned metadata** (``metadata/version-N.json``) listing, per
+  bucket, the current data directory and the schema version its files
+  were written with (so type-widen evolution reads old files with
+  their own schema and casts — no reliance on parquet mergeSchema).
+- **Atomic commit**: a tiny ``metadata/CURRENT`` pointer file replaced
+  with ``os.replace`` (atomic on POSIX). The commit manifest
+  (batch_id -> lsn range) lives INSIDE the metadata document, so data
+  visibility and the exactly-once bookkeeping change in the same
+  atomic operation. A crash before the swap leaves the table exactly
+  at the previous snapshot — this closes the reference's BUG-001
+  (bronze DELETE committed before INSERT; reference BUGS.md:9-14).
+
+Readers recompute the bucket id from ``doc_id`` — it is never stored —
+so bucket pruning is always consistent with the data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import DOCS_SCHEMAS
+from .evolve import align_to_version
+
+FORMAT_VERSION = 1
+
+
+def bucket_expr(key_col: str, n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+class LakeTable:
+    def __init__(self, root: str, meta: dict):
+        self.root = root
+        self.meta = meta
+
+    # ---- lifecycle -------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        *,
+        n_buckets: int = 16,
+        schema_version: int = 1,
+        key_col: str = "doc_id",
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        meta = {
+            "format_version": FORMAT_VERSION,
+            "version": 0,
+            "schema_version": schema_version,
+            "n_buckets": n_buckets,
+            "key_col": key_col,
+            "buckets": {},  # bucket_id(str) -> {"dir": rel, "schema_version": int}
+            "committed_batches": {},  # batch_id(str) -> {lsn_lo, lsn_hi, rows_applied}
+        }
+        table = cls(root, meta)
+        table._write_metadata(meta)
+        return table
+
+    @classmethod
+    def load(cls, root: str) -> "LakeTable":
+        current = os.path.join(root, "metadata", "CURRENT")
+        with open(current) as f:
+            name = f.read().strip()
+        with open(os.path.join(root, "metadata", name)) as f:
+            meta = json.load(f)
+        return cls(root, meta)
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.exists(os.path.join(root, "metadata", "CURRENT"))
+
+    # ---- properties ------------------------------------------------------
+
+    @property
+    def version(self) -> int:
+        return self.meta["version"]
+
+    @property
+    def schema_version(self) -> int:
+        return self.meta["schema_version"]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.meta["n_buckets"]
+
+    @property
+    def key_col(self) -> str:
+        return self.meta["key_col"]
+
+    def schema(self) -> T.StructType:
+        return DOCS_SCHEMAS[self.schema_version]
+
+    def is_committed(self, batch_id: int) -> bool:
+        return str(batch_id) in self.meta["committed_batches"]
+
+    def committed_batches(self) -> dict[int, dict]:
+        return {int(k): v for k, v in self.meta["committed_batches"].items()}
+
+    # ---- read ------------------------------------------------------------
+
+    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+        """Current snapshot, optionally pruned to the given buckets.
+
+        Bucket pruning never touches the files of other buckets — the
+        physical analog of partition pruning. Files written under older
+        schema versions are read with their own schema and aligned
+        (add-column -> NULL, type-widen -> cast) to the current one.
+        """
+        wanted = set(buckets) if buckets is not None else None
+        by_sv: dict[int, list[str]] = {}
+        for b_str, entry in self.meta["buckets"].items():
+            if wanted is not None and int(b_str) not in wanted:
+                continue
+            by_sv.setdefault(entry["schema_version"], []).append(
+                os.path.join(self.root, entry["dir"])
+            )
+        target_sv = self.schema_version
+        parts: list[DataFrame] = []
+        for sv, dirs in by_sv.items():
+            df = spark.read.schema(DOCS_SCHEMAS[sv]).parquet(*dirs)
+            parts.append(align_to_version(df, sv, target_sv))
+        if not parts:
+            return spark.createDataFrame([], DOCS_SCHEMAS[target_sv])
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ---- commit ----------------------------------------------------------
+
+    def new_data_dir(self) -> str:
+        """Relative dir the next commit's rewritten buckets go to.
+
+        Named by target version; a crash-resumed retry overwrites it.
+        """
+        return os.path.join("data", f"v{self.version + 1}")
+
+    def commit(
+        self,
+        new_bucket_dirs: dict[int, str],
+        removed_buckets: set[int],
+        batch_record: tuple[int, dict] | None,
+        schema_version: int | None = None,
+    ) -> None:
+        """Atomically publish: rewritten bucket pointers + manifest entry
+        (+ optional schema evolution) in one metadata swap."""
+        meta = json.loads(json.dumps(self.meta))  # deep copy
+        meta["version"] = self.version + 1
+        if schema_version is not None:
+            meta["schema_version"] = schema_version
+        sv = meta["schema_version"]
+        for b in removed_buckets:
+            meta["buckets"].pop(str(b), None)
+        for b, rel_dir in new_bucket_dirs.items():
+            meta["buckets"][str(b)] = {"dir": rel_dir, "schema_version": sv}
+        if batch_record is not None:
+            batch_id, rec = batch_record
+            meta["committed_batches"][str(batch_id)] = rec
+        meta["committed_at_unix"] = time.time()
+        self._write_metadata(meta)
+        self.meta = meta
+
+    def _write_metadata(self, meta: dict) -> None:
+        md_dir = os.path.join(self.root, "metadata")
+        name = f"version-{meta['version']}.json"
+        with open(os.path.join(md_dir, name), "w") as f:
+            json.dump(meta, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = os.path.join(md_dir, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(md_dir, "CURRENT"))
