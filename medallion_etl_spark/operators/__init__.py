@@ -1,0 +1,22 @@
+"""Query/operator layer.
+
+``ALL_QUERIES`` maps query name -> (spark_fn, oracle_sql | None); the
+driver contract in __spark_entry__.py is assembled from it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
+    from . import cdc_query, dedup_text, medallion, similarity, textops
+
+    out: dict[str, tuple[QueryFn, str | None]] = {}
+    for mod in (medallion, cdc_query, textops, dedup_text, similarity):
+        out.update(mod.QUERIES)
+    return out
