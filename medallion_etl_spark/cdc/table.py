@@ -36,9 +36,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schemas import DOCS_SCHEMAS
-from .evolve import align_to_version
 
 FORMAT_VERSION = 1
+
+# Row-level bookkeeping persisted in every data file (never surfaced by
+# a non-raw read):
+#   _lsn      the LSN that produced the row — lets a merge decide
+#             last-writer-wins against rows already in the table, so
+#             batches may be applied in ANY order (out-of-order
+#             micro-batches, kill-and-resume in any order) and still
+#             converge to the same state.
+#   _deleted  tombstone flag. A delete keeps a row (payload NULLed)
+#             so an out-of-order earlier update can never resurrect
+#             the key. Purged by compact() once the low-watermark LSN
+#             passes them — the Iceberg snapshot-expiry analog.
+INTERNAL_FIELDS = [
+    T.StructField("_lsn", T.LongType(), True),
+    T.StructField("_deleted", T.BooleanType(), True),
+]
+INTERNAL_COLS = [f.name for f in INTERNAL_FIELDS]
+
+
+def stored_schema(schema_version: int) -> T.StructType:
+    return T.StructType(list(DOCS_SCHEMAS[schema_version].fields) + INTERNAL_FIELDS)
 
 
 def bucket_expr(key_col: str, n_buckets: int) -> F.Column:
@@ -118,13 +138,19 @@ class LakeTable:
 
     # ---- read ------------------------------------------------------------
 
-    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self, spark: SparkSession, buckets: list[int] | None = None, raw: bool = False
+    ) -> DataFrame:
         """Current snapshot, optionally pruned to the given buckets.
 
         Bucket pruning never touches the files of other buckets — the
         physical analog of partition pruning. Files written under older
         schema versions are read with their own schema and aligned
         (add-column -> NULL, type-widen -> cast) to the current one.
+
+        ``raw=True`` keeps tombstone rows and the ``_lsn``/``_deleted``
+        bookkeeping columns (the merge path needs them); the default
+        read is the clean user-facing table.
         """
         wanted = set(buckets) if buckets is not None else None
         by_sv: dict[int, list[str]] = {}
@@ -135,16 +161,60 @@ class LakeTable:
                 os.path.join(self.root, entry["dir"])
             )
         target_sv = self.schema_version
+        target = DOCS_SCHEMAS[target_sv]
         parts: list[DataFrame] = []
         for sv, dirs in by_sv.items():
-            df = spark.read.schema(DOCS_SCHEMAS[sv]).parquet(*dirs)
-            parts.append(align_to_version(df, sv, target_sv))
+            df = spark.read.schema(stored_schema(sv)).parquet(*dirs)
+            have = {f.name: f.dataType for f in DOCS_SCHEMAS[sv].fields}
+            cols = []
+            for field in target.fields:
+                if field.name in have:
+                    c = F.col(field.name)
+                    if have[field.name] != field.dataType:
+                        c = c.cast(field.dataType)
+                    cols.append(c.alias(field.name))
+                else:
+                    cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+            parts.append(df.select(*cols, *INTERNAL_COLS))
         if not parts:
-            return spark.createDataFrame([], DOCS_SCHEMAS[target_sv])
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            out = spark.createDataFrame([], stored_schema(target_sv))
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if raw:
+            return out
+        return out.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(*INTERNAL_COLS)
+
+    # ---- maintenance -----------------------------------------------------
+
+    def compact(self, spark: SparkSession, watermark_lsn: int) -> dict:
+        """Garbage-collect delete tombstones at or below the low
+        watermark (an LSN every producer is known to have passed —
+        events with lower LSNs can no longer arrive, so the tombstones
+        have nothing left to block). Rewrites the table at the current
+        schema version; one atomic commit. The Iceberg snapshot-expiry
+        / Delta VACUUM analog, LSN-based instead of time-based."""
+        base = self.read(spark, raw=True)
+        purgeable = F.coalesce(F.col("_deleted"), F.lit(False)) & (
+            F.col("_lsn") <= F.lit(watermark_lsn)
+        )
+        keep = base.filter(~purgeable).withColumn(
+            "_bucket", bucket_expr(self.key_col, self.n_buckets)
+        )
+        rel_dir = self.new_data_dir()
+        out_dir = os.path.join(self.root, rel_dir)
+        keep.repartition(self.n_buckets, F.col("_bucket")).write.mode("overwrite").partitionBy(
+            "_bucket"
+        ).parquet(out_dir)
+        new_dirs: dict[int, str] = {}
+        for entry in os.listdir(out_dir):
+            if entry.startswith("_bucket="):
+                b = int(entry.split("=", 1)[1])
+                new_dirs[b] = os.path.join(rel_dir, entry)
+        removed = {int(b) for b in self.meta["buckets"]} - set(new_dirs)
+        self.commit(new_dirs, removed, None)
+        return {"buckets": sorted(new_dirs), "buckets_dropped": sorted(removed)}
 
     # ---- commit ----------------------------------------------------------
 

@@ -1,6 +1,367 @@
-"""Document deduplication operators (placeholder — exact, MinHash+LSH,
-SimHash, n-gram Jaccard)."""
+"""Deduplication operators for a training-data pipeline: exact
+(hash-groupBy), n-gram Jaccard, MinHash+LSH banding, SimHash, and
+embedding-cosine near-dup — each as a (DataFrame fn, DuckDB oracle)
+pair computing the identical deterministic function (md5 everywhere,
+left-to-right folds, similarity values rounded to 6 decimals).
+
+Scale shapes (the part that matters at 100 TB):
+- exact dedup: one hash aggregate on a 32-char digest — shuffle carries
+  (digest, doc_id, n_chars) only, never the text.
+- n-gram Jaccard / MinHash: candidate generation is an equi-join on
+  shingle / band-bucket keys, i.e. the classic "shingle -> band ->
+  bucket-join" plan; stop-shingles (document frequency > DF_CAP) are
+  dropped before the self-join, which is what bounds the join fan-out
+  on pathological common shingles. Pair scoring happens on the joined
+  candidates only, never all |docs|^2 pairs.
+- SimHash: per-row 16-bit signature from word hashes (pure expression,
+  no shuffle) + one group-by on the signature.
+- embedding cosine: brute-force pair join is the small-N baseline (the
+  oracle-checkable reference); the LSH-bucketed variant in
+  similarity.py is the scale path.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table as T
+
+N_HASHES = 8
+N_BANDS = 4  # bands of 2 rows each
+DF_CAP = 100  # drop shingles present in more than this many docs
+JACCARD_TOPK = 20
+COS_THRESHOLD = 0.35
+
+# --------------------------------------------------------------------------
+# helpers (Spark side)
+
+
+def _words(col: str = "text") -> F.Column:
+    return F.split(F.lower(col), " ")
+
+
+def _shingles(words: F.Column, k: int = 3) -> F.Column:
+    """Distinct word k-gram shingles, md5-hashed to 32-char digests."""
+    n = F.size(words)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.encode(F.concat_ws(" ", F.slice(words, i, k)), "UTF-8")),
+        ),
+    ).otherwise(F.array(F.md5(F.encode(F.concat_ws(" ", words), "UTF-8"))))
+    return F.array_distinct(grams)
+
+
+_SHINGLES_SQL = """
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) >= 3
+              THEN list_transform(range(1, len(words) - 1),
+                                  i -> md5(array_to_string(words[i:i+2], ' ')))
+              ELSE [md5(array_to_string(words, ' '))]
+         END) AS shingles
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+"""
+
+# --------------------------------------------------------------------------
+# Exact dedup: group by content digest. The shuffle never carries text.
+
+
+def exact_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    digest = F.md5(F.encode(F.lower(F.trim("text")), "UTF-8"))
+    return (
+        docs.select(digest.alias("content_hash"), "doc_id", "n_chars")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("content_hash")
+    )
+
+
+EXACT_DEDUP_DOCS_SQL = """
+SELECT md5(lower(trim(text))) AS content_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies,
+       sum(n_chars) AS total_chars
+FROM documents
+GROUP BY 1
+ORDER BY content_hash
+"""
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard: shingle equi-join candidates -> exact Jaccard -> top-k
+# pairs. DF_CAP bounds the fan-out of hot shingles before the self-join.
+
+
+def ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    sh = docs.select("doc_id", F.explode(_shingles(_words())).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = sh.join(
+        sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df")).filter(F.col("df") <= DF_CAP),
+        "shingle",
+    ).select("doc_id", "shingle")
+    a, b = rare.alias("a"), rare.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(JACCARD_TOPK)
+    )
+
+
+NGRAM_JACCARD_TOPK_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+flat AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM flat GROUP BY 1),
+rare AS (
+  SELECT doc_id, shingle FROM flat
+  WHERE shingle IN (SELECT shingle FROM flat GROUP BY 1 HAVING count(DISTINCT doc_id) <= {DF_CAP})
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT {JACCARD_TOPK}
+"""
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding: signature = min over shingles of md5(i|shingle)
+# per hash i; band key = md5 of the band's rows; docs sharing a band
+# bucket become candidates; estimated similarity = matching-signature
+# fraction. Fully deterministic -> oracle computes the same pipeline.
+
+
+def _minhash_sig(shingles: F.Column) -> F.Column:
+    def mh(i: int) -> F.Column:
+        prefix = F.lit(f"{i}|")
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.encode(F.concat(prefix, s), "UTF-8")))
+        )
+
+    return F.array(*[mh(i) for i in range(N_HASHES)])
+
+
+def minhash_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    sig = docs.select("doc_id", _minhash_sig(_shingles(_words())).alias("mh"))
+    rows_per_band = N_HASHES // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        "mh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.encode(
+                                F.concat_ws("|", *[F.element_at("mh", b * rows_per_band + r + 1) for r in range(rows_per_band)]),
+                                "UTF-8",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "mh", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_bands"),
+            F.first(F.col("a.mh")).alias("mh_a"),
+            F.first(F.col("b.mh")).alias("mh_b"),
+        )
+    )
+    est = F.size(F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)) / F.lit(
+        float(N_HASHES)
+    )
+    return (
+        cand.select("doc_a", "doc_b", "n_shared_bands", F.round(est, 6).alias("est_jaccard"))
+        .orderBy(F.col("est_jaccard").desc(), "doc_a", "doc_b")
+    )
+
+
+_MH_COLS_SQL = ", ".join(
+    f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS mh{i}" for i in range(N_HASHES)
+)
+_ROWS_PER_BAND = N_HASHES // N_BANDS
+_BAND_STRUCTS_SQL = ", ".join(
+    "{'band': %d, 'bucket': md5(%s)}"
+    % (b, " || '|' || ".join(f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)))
+    for b in range(N_BANDS)
+)
+_MH_EQ_SQL = " + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))
+
+MINHASH_NEAR_DUP_PAIRS_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh),
+bands AS (
+  SELECT doc_id, {', '.join(f'mh{i}' for i in range(N_HASHES))}, unnest([{_BAND_STRUCTS_SQL}], recursive := true)
+  FROM sig
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS n_shared_bands,
+         ({_MH_EQ_SQL}) AS n_eq
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 4
+)
+SELECT doc_a, doc_b, n_shared_bands,
+       round(n_eq / {float(N_HASHES)}, 6) AS est_jaccard
+FROM cand
+ORDER BY est_jaccard DESC, doc_a, doc_b
+"""
+
+# --------------------------------------------------------------------------
+# SimHash: 16-bit signature; bit b is the sign of the sum over distinct
+# words of (+1/-1 from md5 hex digit b's parity). Pure per-row
+# expression; clustering = one group-by on the signature.
+
+SIMHASH_BITS = 16
+
+
+def simhash_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    hashes = F.transform(
+        F.array_distinct(_words()), lambda w: F.md5(F.encode(w, "UTF-8"))
+    )
+    def bit(b: int) -> F.Column:
+        pos = b + 1
+        total = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + (F.conv(F.substring(h, pos, 1), 16, 10).cast("int") % 2) * 2 - 1,
+        )
+        return F.when(total > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    bits = [bit(b) for b in range(SIMHASH_BITS)]
+    sig = F.concat(*bits)
+    return (
+        docs.select(sig.alias("simhash"), "doc_id")
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc_id"))
+        .orderBy("simhash")
+    )
+
+
+_BIT_SQL = ", ".join(
+    "CASE WHEN list_sum(list_transform(hashes, h -> "
+    f"((strpos('0123456789abcdef', h[{b + 1}:{b + 1}]) - 1) % 2) * 2 - 1)) > 0 "
+    f"THEN '1' ELSE '0' END AS bit{b}"
+    for b in range(SIMHASH_BITS)
+)
+
+SIMHASH_CLUSTERS_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(lower(text), ' ')), w -> md5(w)) AS hashes
+  FROM documents
+), bits AS (
+  SELECT doc_id, {_BIT_SQL} FROM h
+)
+SELECT {' || '.join(f'bit{b}' for b in range(SIMHASH_BITS))} AS simhash,
+       count(*) AS n_docs,
+       min(doc_id) AS canonical_doc_id
+FROM bits
+GROUP BY 1
+ORDER BY simhash
+"""
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup: brute-force pair join (the oracle-checkable
+# baseline; LSH-bucketed scale path in similarity.py). Double-precision
+# left-to-right dot products on both engines, rounded to 6 decimals.
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _dvec(col: str) -> F.Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    normed = emb.select(
+        "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("norm")
+    )
+    a, b = normed.alias("a"), normed.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COS_THRESHOLD)
+        .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
+    )
+
+
+_DOT_SQL = (
+    "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+EMBEDDING_NEAR_DUP_PAIRS_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS norm FROM v
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_DOT_SQL.format(a='a.v', b='b.v')} / (a.norm * b.norm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round({_DOT_SQL.format(a='a.v', b='b.v')} / (a.norm * b.norm), 6) >= {COS_THRESHOLD}
+ORDER BY cosine DESC, vec_a, vec_b
+"""
+
+
+QUERIES = {
+    "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_DOCS_SQL),
+    "ngram_jaccard_topk": (ngram_jaccard_topk, NGRAM_JACCARD_TOPK_SQL),
+    "minhash_near_dup_pairs": (minhash_near_dup_pairs, MINHASH_NEAR_DUP_PAIRS_SQL),
+    "simhash_clusters": (simhash_clusters, SIMHASH_CLUSTERS_SQL),
+    "embedding_near_dup_pairs": (embedding_near_dup_pairs, EMBEDDING_NEAR_DUP_PAIRS_SQL),
+}

@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata, processed with Arrow-batched ``mapInPandas`` (the one place
+Python in the row path is the right call — real decoders are C
+libraries reached from pandas batches, never per-row Python loops).
+
+The sandbox has no image/audio libraries, so the *decode* step is a
+deterministic fake (md5-derived dimensions) — clearly marked, with the
+real-codec entry point stubbed behind ``NotImplementedError`` — while
+everything Spark-side is real and tested: the binary payload column,
+the mapInPandas schema/batch contract, even-spaced frame sampling, and
+the partitioning story (payload bytes stay columnar Arrow buffers; no
+driver collect).
+
+Because the fake decode is pure md5 arithmetic, the DuckDB oracle can
+replay it exactly — so even the pandas-UDF path sits behind the
+driver's value-hash correctness gate.
+
+At scale: decode cost dominates, so the plan is scan -> mapInPandas
+(pipelined, no shuffle) -> write; ``spark.sql.execution.arrow
+.maxRecordsPerBatch`` bounds batch memory for fat payloads; payload
+columns are pruned away before any shuffle/agg stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.readers import load_table as T_
+
+N_SAMPLED = 4
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sampled_frames", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def decode_frames(payload: bytes) -> list[bytes]:
+    """Real-codec entry point (ffmpeg/PIL territory). STUB: the
+    container ships no codecs; wire a real decoder here on a cluster
+    image that has one."""
+    raise NotImplementedError("no image/audio codecs in this environment")
+
+
+def _fake_decode(payload: bytes) -> tuple[str, int, int, int]:
+    """Deterministic stand-in for decode: md5-derived dimensions.
+    Mirrored 1:1 by the DuckDB oracle SQL below."""
+    digest = hashlib.md5(payload).hexdigest()
+    width = 16 + int(digest[0:2], 16) % 240
+    height = 16 + int(digest[2:4], 16) % 240
+    n_frames = 1 + int(digest[4:6], 16) % 30
+    return digest, width, height, n_frames
+
+
+def _sample_indices(n_frames: int, k: int = N_SAMPLED) -> list[int]:
+    """Evenly spaced frame indices, endpoints included."""
+    if n_frames <= 1:
+        return [0] * k
+    return [(j * (n_frames - 1)) // (k - 1) for j in range(k)]
+
+
+def _extract_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = pdf["payload"]
+        meta = [_fake_decode(p) for p in payloads]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": [len(p) for p in payloads],
+                "digest": [m[0] for m in meta],
+                "width": [m[1] for m in meta],
+                "height": [m[2] for m in meta],
+                "n_frames": [m[3] for m in meta],
+                "sampled_frames": [_sample_indices(m[3]) for m in meta],
+            }
+        )
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary column. In production this IS the
+    stored image/audio bytes; here the utf-8 text bytes stand in, so
+    metadata is verifiable downstream."""
+    return docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+
+def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    docs = with_payload(T_(spark, sf, "documents"))
+    return docs.mapInPandas(_extract_meta, META_SCHEMA).orderBy("doc_id")
+
+
+_HEXPOS = "strpos('0123456789abcdef', {c}) - 1"
+
+
+def _hexbyte_sql(i: int) -> str:
+    """int(digest[i:i+2], 16) in DuckDB."""
+    hi = _HEXPOS.format(c=f"d[{i + 1}:{i + 1}]")
+    lo = _HEXPOS.format(c=f"d[{i + 2}:{i + 2}]")
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+MULTIMODAL_META_SQL = f"""
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS d
+  FROM documents
+), dims AS (
+  SELECT doc_id, n_bytes, d,
+         CAST(16 + {_hexbyte_sql(0)} % 240 AS INT) AS width,
+         CAST(16 + {_hexbyte_sql(2)} % 240 AS INT) AS height,
+         CAST(1 + {_hexbyte_sql(4)} % 30 AS INT) AS n_frames
+  FROM m
+)
+SELECT doc_id, CAST(n_bytes AS INT) AS n_bytes, d AS digest,
+       width, height, n_frames,
+       CASE WHEN n_frames <= 1 THEN [0, 0, 0, 0]
+            ELSE list_transform(range(0, {N_SAMPLED}),
+                                j -> CAST(j * (n_frames - 1) // {N_SAMPLED - 1} AS INT))
+       END AS sampled_frames
+FROM dims
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
+}

@@ -1,6 +1,258 @@
-"""Text analysis operators for training-data pipelines (placeholder —
-filled in with lang-id, quality scoring, token counting, fingerprints)."""
+"""Text analysis operators for a large-scale training-data pipeline:
+token counting, quality scoring, n-gram language ID, and document
+fingerprinting — all JVM-side expressions (zero Python in the row
+path), each paired with a DuckDB oracle computing the identical
+deterministic function.
+
+Scale shape: every query here is a narrow projection + per-row
+expression over ``documents`` (no shuffle except the final orderBy for
+oracle-stable output, and a single hash agg for fingerprint grouping).
+At 100 TB these run at scan speed inside whole-stage codegen; filters/
+projections push into the parquet scan.
+
+Cross-engine determinism rules used throughout this module (and
+dedup_text / similarity): only md5 for hashing (identical in Spark and
+DuckDB over utf-8), only left-to-right list folds, and ratios rounded
+to 6 decimals before output so double formatting noise can't break the
+driver's value-hash gate.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table as T
+
+# Markers for the n-gram/stopword language-ID heuristic. The synthetic
+# corpus is English-like for every label, so accuracy is not the point —
+# the operator contract is a deterministic, vectorized scoring +
+# argmax, the same shape a real fastText-style scorer plugs into.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in"],
+    "es": ["el", "la", "de", "que", "los", "una"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "une"],
+    "zh": ["de5", "shi4", "le5", "zai4", "you3", "he2"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# "BPE-ish" tokenization regex: letter runs, single digits, or single
+# non-alphanumeric marks — a crude stand-in for a byte-pair vocab that
+# both regex engines (Java util.regex / DuckDB RE2) agree on.
+BPE_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+# --------------------------------------------------------------------------
+# Token counting: whitespace tokens + BPE-ish regex tokens.
+
+
+def doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    lowered = F.lower("text")
+    words = F.split(lowered, " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_ws_tokens"),
+        F.regexp_count(lowered, F.lit(BPE_RE)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_text"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+DOC_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len(string_split(lower(text), ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_RE}')) AS n_bpe_tokens,
+       length(text) AS n_chars_text,
+       n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# Quality scoring: length / punctuation / stopword-ratio features and a
+# weighted composite, the standard pre-training corpus filter shape.
+
+
+def doc_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    lowered = F.lower("text")
+    words = F.split(lowered, " ")
+    n_words = F.size(words)
+    len_nospace = F.length(F.replace(lowered, F.lit(" "), F.lit("")))
+    mean_word_len = len_nospace / n_words
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))) / n_words
+    punct_ratio = F.regexp_count(lowered, F.lit("[^a-z0-9 ]")) / F.length("text")
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+DOC_QUALITY_SCORES_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+         string_split(lower(text), ' ') AS words,
+         length(replace(lower(text), ' ', '')) AS len_nospace,
+         len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         len_nospace / len(words) AS mean_word_len,
+         len(list_filter(words, w -> list_contains({_STOP_SQL}, w))) / len(words) AS stop_ratio,
+         n_punct / n_chars AS punct_ratio
+  FROM feats
+)
+SELECT doc_id, n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(least(n_words / 100.0, 1.0) * 0.4 + stop_ratio * 0.4
+             + (1.0 - punct_ratio) * 0.2, 6) AS quality_score
+FROM r
+ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# Language ID: marker-hit scores per language, argmax with a
+# deterministic tiebreak (score desc, then language name asc).
+
+
+def lang_id_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    words = F.split(F.lower("text"), " ")
+
+    def marker_score(markers: list[str]) -> F.Column:
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    scores = {lang: marker_score(markers) for lang, markers in LANG_MARKERS.items()}
+    # argmax via max over (score, reversed-lang) structs so ties break
+    # toward the alphabetically-first language
+    pairs = F.array(
+        *[
+            F.struct(
+                scores[lang].alias("s"),
+                F.lit(-ord(lang[0]) * 256 - ord(lang[1])).alias("tie"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.array_max(pairs)
+    out = docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+        best.getField("lang").alias("lang_pred"),
+        F.col("lang").alias("lang_true"),
+    )
+    return out.withColumn(
+        "correct", (F.col("lang_pred") == F.col("lang_true")).cast("boolean")
+    ).orderBy("doc_id")
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_filter(words, w -> list_contains({lst}, w)))"
+
+
+_LANGS_SORTED = sorted(LANG_MARKERS)
+_SCORE_COLS = ",\n         ".join(
+    f"{_lang_score_sql(LANG_MARKERS[lang])} AS score_{lang}" for lang in _LANGS_SORTED
+)
+# DuckDB argmax with the same tiebreak: pick lexicographically-greatest
+# (score, -langrank) pair; langs sorted asc -> earlier lang wins ties.
+_PRED_SQL = "CASE " + " ".join(
+    f"WHEN {' AND '.join(f'score_{lang} >= score_{o}' for o in _LANGS_SORTED if o != lang)} THEN '{lang}'"
+    for lang in _LANGS_SORTED
+) + " END"
+
+LANG_ID_NGRAM_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS words FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         {_SCORE_COLS}
+  FROM feats
+)
+SELECT doc_id, {', '.join(f'score_{lang}' for lang in _LANGS_SORTED)},
+       {_PRED_SQL} AS lang_pred,
+       lang AS lang_true,
+       ({_PRED_SQL}) = lang AS correct
+FROM s
+ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: md5 of the normalized text plus a
+# winnowing-style rolling fingerprint — min/max md5 over word 4-gram
+# shingles. Robust to shingle *order*, content-sensitive, and cheap
+# (per-row expressions, no shuffle).
+
+SHINGLE = 4
+
+
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    words = F.split(F.lower("text"), " ")
+    n = F.size(words)
+    shingles = F.when(
+        n >= SHINGLE,
+        F.transform(
+            F.sequence(F.lit(1), n - (SHINGLE - 1)),
+            lambda i: F.md5(F.encode(F.concat_ws(" ", F.slice(words, i, SHINGLE)), "UTF-8")),
+        ),
+    ).otherwise(F.array(F.md5(F.encode(F.concat_ws(" ", words), "UTF-8"))))
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(F.lower("text"), "UTF-8")).alias("fp_full"),
+        F.array_min(shingles).alias("fp_min"),
+        F.array_max(shingles).alias("fp_max"),
+        F.size(shingles).alias("n_shingles"),
+    ).orderBy("doc_id")
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id, t,
+         CASE WHEN len(words) >= {SHINGLE}
+              THEN list_transform(range(1, len(words) - {SHINGLE - 1} + 1),
+                                  i -> md5(array_to_string(words[i:i+{SHINGLE - 1}], ' ')))
+              ELSE [md5(array_to_string(words, ' '))]
+         END AS shingles
+  FROM feats
+)
+SELECT doc_id,
+       md5(t) AS fp_full,
+       list_min(shingles) AS fp_min,
+       list_max(shingles) AS fp_max,
+       len(shingles) AS n_shingles
+FROM sh
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
+    "doc_quality_scores": (doc_quality_scores, DOC_QUALITY_SCORES_SQL),
+    "lang_id_ngram": (lang_id_ngram, LANG_ID_NGRAM_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+}
