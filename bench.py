@@ -44,8 +44,17 @@ DEFAULT_CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
 SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 
-def _bench_conf() -> dict[str, str]:
-    return {"spark.local.dir": os.path.join(SCRATCH, "spark-local")} if SCRATCH else {}
+def _bench_conf(parallelism: int | None = None) -> dict[str, str]:
+    conf = {"spark.local.dir": os.path.join(SCRATCH, "spark-local")} if SCRATCH else {}
+    if parallelism is not None:
+        # Emulate an N-core executor honestly: a real executor JVM gets
+        # GC threads sized to ITS cores, not the host's 32. Only
+        # effective in a fresh JVM (the --scaling subprocesses).
+        conf["spark.driver.extraJavaOptions"] = (
+            f"-XX:ParallelGCThreads={max(parallelism, 2)}"
+            f" -XX:ConcGCThreads={max(parallelism // 4, 1)}"
+        )
+    return conf
 
 # Headline queries: one per operator family (agg, two-level agg,
 # window top-k, LWW window, JSON extract, broadcast-join top-k) plus
@@ -93,6 +102,7 @@ def run_cdc(
     *,
     n_chunks: int = 4,
     strategy: str = "agg",
+    merge_path: str = "auto",
     keep_tmp: bool = False,
 ) -> dict:
     """End-to-end replay throughput: synth stream (written to parquet,
@@ -102,19 +112,24 @@ def run_cdc(
 
     from medallion_etl_spark.cdc.replay import replay
     from medallion_etl_spark.cdc.table import LakeTable
-    from medallion_etl_spark.synth import gen_events, write_events_shuffled
+    from medallion_etl_spark.synth import gen_events, write_events_ordered
 
     tmp = tempfile.mkdtemp(prefix="cdc_bench_", dir=SCRATCH)
     try:
         ev_path = os.path.join(tmp, "events")
         stream = gen_events(spark, n_events, max(n_events // 10, 100))
-        write_events_shuffled(stream, ev_path, n_files=max(DEFAULT_CPUS, 8))
+        # LSN-ordered segments (the real WAL-tail layout): chunk range
+        # filters prune row groups instead of rescanning the stream
+        write_events_ordered(stream, ev_path, n_files=max(DEFAULT_CPUS, 8))
         events = spark.read.parquet(ev_path)
 
         table = LakeTable.create(os.path.join(tmp, "table"), n_buckets=64, schema_version=1)
         chunk = max(n_events // n_chunks, 1)
         t0 = time.perf_counter()
-        res = replay(spark, events, table, chunk_size=chunk, dedup_strategy=strategy)
+        res = replay(
+            spark, events, table, chunk_size=chunk,
+            dedup_strategy=strategy, merge_path=merge_path,
+        )
         wall = time.perf_counter() - t0
         final_rows = LakeTable.load(os.path.join(tmp, "table")).read(spark).count()
         return {
@@ -130,22 +145,24 @@ def run_cdc(
             shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _cdc_only(parallelism: int, n_events: int, n_chunks: int) -> None:
+def _cdc_only(parallelism: int, n_events: int, n_chunks: int, merge_path: str) -> None:
     from medallion_etl_spark.session import get_spark
 
     spark = get_spark(
-        f"bench_cdc_p{parallelism}", parallelism=parallelism, extra_conf=_bench_conf()
+        f"bench_cdc_p{parallelism}",
+        parallelism=parallelism,
+        extra_conf=_bench_conf(parallelism),
     )
     # warm-up: pay JVM/codegen JIT before the timed run, else the first
     # chunk's compilation time reads as serial work and skews scaling
-    run_cdc(spark, 100_000, n_chunks=1)
-    res = run_cdc(spark, n_events, n_chunks=n_chunks)
+    run_cdc(spark, 100_000, n_chunks=1, merge_path=merge_path)
+    res = run_cdc(spark, n_events, n_chunks=n_chunks, merge_path=merge_path)
     res["parallelism"] = parallelism
     print(json.dumps(res))
     spark.stop()
 
 
-def run_scaling(n_events: int, n_lo: int, n_hi: int, *, reps: int = 2) -> dict:
+def run_scaling(n_events: int, n_lo: int, n_hi: int, *, reps: int = 2, merge_path: str = "agg") -> dict:
     """Same job at local[n_lo] and local[n_hi] (the sandbox stand-in
     for N vs 4N executors), fresh JVM each. Levels are interleaved and
     the best of ``reps`` runs per level is kept, because the sandbox
@@ -156,7 +173,7 @@ def run_scaling(n_events: int, n_lo: int, n_hi: int, *, reps: int = 2) -> dict:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--cdc-only",
                  "--parallelism", str(p), "--events", str(n_events),
-                 "--chunks", "2"],
+                 "--chunks", "2", "--merge-path", merge_path],
                 capture_output=True, text=True, check=True,
             )
             res = json.loads(proc.stdout.strip().splitlines()[-1])
@@ -186,20 +203,24 @@ def main() -> None:
     ap.add_argument("--parallelism", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--cdc-only", action="store_true")
     ap.add_argument("--chunks", type=int, default=4)
+    # agg for --scaling: the broadcast path's driver-side build is serial
+    # and would misrepresent parallel scaling; agg has no driver component
+    ap.add_argument("--merge-path", default="agg", choices=["auto", "broadcast", "agg"])
     ap.add_argument("--scaling", action="store_true")
     # N vs 4N cores. 4/16 rather than 8/32 so the 4N level still has
     # headroom for the JVM's GC/IO/shuffle threads on the 32-core box —
     # at local[32] those threads contend with task threads and the
     # measurement stops being about data parallelism.
-    ap.add_argument("--scale-lo", type=int, default=4)
-    ap.add_argument("--scale-hi", type=int, default=16)
+    ap.add_argument("--scale-lo", type=int, default=2)
+    ap.add_argument("--scale-hi", type=int, default=8)
     args = ap.parse_args()
 
     if args.cdc_only:
-        _cdc_only(args.parallelism, args.events, args.chunks)
+        _cdc_only(args.parallelism, args.events, args.chunks, args.merge_path)
         return
     if args.scaling:
-        print(json.dumps(run_scaling(args.events, args.scale_lo, args.scale_hi)))
+        print(json.dumps(run_scaling(
+            args.events, args.scale_lo, args.scale_hi, merge_path=args.merge_path)))
         return
 
     from medallion_etl_spark.session import get_spark

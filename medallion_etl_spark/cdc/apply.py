@@ -15,18 +15,19 @@ state, because max-LSN-wins is order-independent and delete tombstones
 block resurrection by stale lower-LSN updates.
 
 Scale shape:
-- The batch is LWW-deduped first (skew-aware, see dedup.py), then
-  bucketed by the same hash the table uses. Only buckets containing
-  changed keys are read back and rewritten (bucket-granular
-  copy-on-write) — work per batch is O(|batch| + |touched buckets|),
-  never O(|table|).
-- The merge shuffles on doc_id; the batch side was already collapsed
-  to one row per key by dedup, and the base side has one row per key
-  by construction, so no key is hot in the merge — the skew lives in
-  the dedup phase, where it is handled (dedup.py).
-- Lineage (per-bucket LSN range / rows / bytes) is computed from the
-  same cached deduped frame — one extra small aggregation, no second
-  pass over the raw chunk.
+- Dedup and merge are FUSED: the chunk's LWW dedup and the merge
+  against base are the same max-LSN-per-key reduction, so it runs once
+  over base ∪ raw-chunk (skew-aware, see dedup.py — the default 'agg'
+  strategy's map-side partial aggregate collapses a hot key to one row
+  per input partition before the shuffle). One full shuffle per chunk
+  instead of dedup-shuffle + merge-shuffle.
+- Only buckets containing changed keys are read back and rewritten
+  (bucket-granular copy-on-write) — work per batch is
+  O(|batch| + |touched buckets|), never O(|table|).
+- Lineage (per-bucket LSN range / events / bytes) comes from one
+  partial-aggregate pass over the raw chunk (n_buckets rows per map
+  task cross the wire, nothing else); 'rows_applied' counts the
+  chunk's events landing in that bucket.
 """
 
 from __future__ import annotations
@@ -60,20 +61,28 @@ def apply_batch(
     *,
     dedup_strategy: str = "salted",
     n_salts: int = 16,
+    merge_path: str = "auto",
+    broadcast_limit: int = 20_000_000,
 ) -> dict:
     """Apply one LSN-chunk of change events. Idempotent: an already
     committed batch_id is a no-op; a crash before commit leaves the
-    previous snapshot visible and the batch re-appliable."""
+    previous snapshot visible and the batch re-appliable.
+
+    ``merge_path``: 'broadcast' selects winners with a broadcast
+    semi-join (payload never shuffles — right when the chunk's key set
+    fits the driver); 'agg' uses the shuffle-based LWW reduction
+    (``dedup_strategy`` picks the physical plan); 'auto' broadcasts
+    when the chunk has at most ``broadcast_limit`` events.
+    """
     if table.is_committed(batch_id):
         return {"batch_id": batch_id, "skipped": True}
 
     key = table.key_col
-    latest = dedup_latest(chunk, keys=(key,), order_col="lsn", strategy=dedup_strategy, n_salts=n_salts)
-    latest = latest.withColumn("_bucket", bucket_expr(key, table.n_buckets)).persist()
 
-    # one small job: touched buckets + per-bucket lineage stats
-    # (+ the stream's max schema_version, folded in to avoid a second
-    # driver round-trip per chunk)
+    # one small job over the RAW chunk (map-side partial agg collapses
+    # it to n_buckets rows per task — no shuffle of data, no dedup
+    # needed first): touched buckets + per-bucket lineage stats + the
+    # stream's max schema_version, all in one driver round-trip
     has_sv = "schema_version" in chunk.columns
     sv_agg = (
         [F.max("schema_version").alias("max_sv")]
@@ -81,7 +90,7 @@ def apply_batch(
         else [F.lit(None).cast("int").alias("max_sv")]
     )
     stats = (
-        latest.groupBy("_bucket")
+        chunk.groupBy(bucket_expr(key, table.n_buckets).alias("_bucket"))
         .agg(
             F.count(F.lit(1)).alias("rows_applied"),
             F.min("lsn").alias("lsn_lo"),
@@ -93,7 +102,6 @@ def apply_batch(
     changed = sorted(int(r["_bucket"]) for r in stats)
     if not changed:
         table.commit({}, set(), (batch_id, {"lsn_lo": lsn_lo, "lsn_hi": lsn_hi, "rows_applied": 0}))
-        latest.unpersist()
         return {"batch_id": batch_id, "rows_applied": 0, "buckets": []}
 
     # schema evolution: the stream tells us when to evolve
@@ -111,13 +119,37 @@ def apply_batch(
         ]
         return df.select(*cols, lsn_col.alias("_lsn"), deleted_col.alias("_deleted"))
 
-    batch_rows = to_storage_layout(latest, F.col("lsn"), F.col("op") == "D")
+    # FUSED dedup + merge: the chunk's own LWW dedup and the merge
+    # against base are the same reduction (max LSN per key), run ONCE
+    # over base ∪ raw-chunk. `_ord = _lsn*2 (+1 for chunk rows)` makes
+    # the order key unique even when a redelivered event already sits
+    # in the table (identical content; chunk side wins the tie).
+    chunk_rows = to_storage_layout(chunk, F.col("lsn"), F.col("op") == "D")
     base = table.read(spark, buckets=changed, raw=True)
     base_aligned = to_storage_layout(base, F.col("_lsn"), F.col("_deleted"))
-    combined = base_aligned.unionByName(batch_rows)
-    merged = dedup_latest(combined, keys=(key,), order_col="_lsn", strategy="agg").withColumn(
-        "_bucket", bucket_expr(key, table.n_buckets)
+    combined = base_aligned.withColumn("_ord", F.col("_lsn") * 2).unionByName(
+        chunk_rows.withColumn("_ord", F.col("_lsn") * 2 + 1)
     )
+
+    total_events = sum(int(r["rows_applied"]) for r in stats)
+    if merge_path == "broadcast" or (merge_path == "auto" and total_events <= broadcast_limit):
+        # Winner selection via broadcast semi-join: the winners pass
+        # reads ONLY (key, _ord) — parquet column pruning keeps token
+        # arrays out of it entirely — and the semi-join filters losers
+        # map-side, so the payload NEVER crosses a shuffle until the
+        # final bucket write. On a memory-bandwidth-bound box (and at
+        # 100 TB, on the network) this moves ~|table| bytes per chunk
+        # instead of ~|chunk| + |table|.
+        winners = combined.select(key, "_ord").groupBy(key).agg(F.max("_ord").alias("_ord"))
+        merged = combined.join(F.broadcast(winners), [key, "_ord"], "left_semi").drop("_ord")
+    else:
+        # Fallback when the chunk's key set is too large to broadcast:
+        # shuffle-based LWW reduction (strategy-selectable, incl. the
+        # explicitly salted path for pathological hot keys).
+        merged = dedup_latest(
+            combined, keys=(key,), order_col="_ord", strategy=dedup_strategy, n_salts=n_salts
+        ).drop("_ord")
+    merged = merged.withColumn("_bucket", bucket_expr(key, table.n_buckets))
 
     rel_dir = table.new_data_dir()
     out_dir = os.path.join(table.root, rel_dir)
@@ -160,5 +192,4 @@ def apply_batch(
         (batch_id, {"lsn_lo": lsn_lo, "lsn_hi": lsn_hi, "rows_applied": rows_applied}),
         schema_version=target_sv if target_sv != table.schema_version else None,
     )
-    latest.unpersist()
     return {"batch_id": batch_id, "rows_applied": rows_applied, "buckets": changed}

@@ -1,17 +1,18 @@
 """Chunked CDC replay driver: the batch-mode apply loop.
 
-Splits the event stream into deterministic LSN ranges, LWW-dedups each
-chunk, MERGE-applies it to the LakeTable, and commits manifest +
-lineage atomically per chunk. Resuming (after a kill at ANY point) is
-just calling replay() again: committed chunks are skipped, the
-in-flight one is recomputed.
+Splits the event stream into deterministic LSN ranges and applies each
+not-yet-committed chunk to the LakeTable (fused LWW dedup + tombstone
+merge, see apply.py), committing manifest + lineage atomically per
+chunk. Resuming (after a kill at ANY point) is just calling replay()
+again: committed chunks are skipped, the in-flight one is recomputed.
 
-Correctness note on chunking: applying chunks in ascending LSN order
-with per-chunk LWW is equivalent to a global LWW reduction — within a
-chunk the max-LSN event wins, and a later chunk's event for the same
-key overwrites unconditionally (its LSNs are all higher). This is the
-same argument the reference relies on when it replays month ranges in
-order (reference orchestrator.py:480-509).
+Correctness note on chunking: the merge is max-LSN-wins over rows that
+carry their producing LSN (with delete tombstones), so the final state
+is independent of chunk application ORDER — ascending replay, a
+scrambled resume, or an out-of-order micro-batch all converge
+(tests/test_streaming.py::test_out_of_order_batches_converge). This
+strictly generalizes the reference's in-order month-range replay
+invariant (reference orchestrator.py:480-509).
 
 The streaming variant (Structured Streaming + foreachBatch over the
 same apply) lives in streaming/stream_replay.py.
@@ -35,6 +36,7 @@ def replay(
     chunk_size: int = 1_000_000,
     dedup_strategy: str = "salted",
     n_salts: int = 16,
+    merge_path: str = "auto",
     max_batches: int | None = None,
 ) -> dict:
     """Replay all not-yet-committed LSN chunks of ``events`` into
@@ -63,6 +65,7 @@ def replay(
             hi,
             dedup_strategy=dedup_strategy,
             n_salts=n_salts,
+            merge_path=merge_path,
         )
         if not res.get("skipped"):
             batches += 1

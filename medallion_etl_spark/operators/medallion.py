@@ -609,8 +609,111 @@ ORDER BY event_id
 """
 
 
+# --------------------------------------------------------------------------
+# P1/P2 + J4: JSON array parse + explode (reference
+# client_forces_transformer.py:70-71 — jsonb_array_elements over a
+# payload array). The JSON document is constructed from row values so
+# both engines parse byte-identical input.
+
+
+def json_array_explode(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    j = F.concat(F.lit("["), F.col("user_id"), F.lit(","), F.col("user_id") + 1, F.lit("]"))
+    arr = F.from_json(j, "array<bigint>")
+    return (
+        ev.select("event_type", F.explode(arr).alias("v"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_vals"), F.sum("v").alias("sum_vals"))
+        .orderBy("event_type")
+    )
+
+
+JSON_ARRAY_EXPLODE_SQL = """
+WITH j AS (
+  SELECT event_type,
+         unnest(from_json('[' || user_id || ',' || (user_id + 1) || ']',
+                          '["BIGINT"]')) AS v
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_vals, CAST(SUM(v) AS BIGINT) AS sum_vals
+FROM j GROUP BY event_type ORDER BY event_type
+"""
+
+# --------------------------------------------------------------------------
+# J5: double-nested lateral explode (reference marketing_transformer.py:
+# 105-106 — jsonb_array_elements(CanalesMkt) canal, then
+# jsonb_array_elements(canal->'SubCanalesMkt')): an
+# array<struct<tag, vals:array>> exploded twice.
+
+
+def double_nested_explode(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    uid = F.col("user_id")
+    tags = F.array(
+        F.struct(F.lit("lo").alias("tag"), F.array(uid % 10, (uid + 1) % 10).alias("vals")),
+        F.struct(F.lit("hi").alias("tag"), F.array(uid % 7).alias("vals")),
+    )
+    return (
+        ev.select(F.explode(tags).alias("t"))
+        .select(F.col("t.tag").alias("tag"), F.explode("t.vals").alias("v"))
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+        .orderBy("tag")
+    )
+
+
+DOUBLE_NESTED_EXPLODE_SQL = """
+WITH lvl1 AS (
+  SELECT unnest([
+           {'tag': 'lo', 'vals': [user_id % 10, (user_id + 1) % 10]},
+           {'tag': 'hi', 'vals': [user_id % 7]}
+         ]) AS t
+  FROM events
+), lvl2 AS (
+  SELECT t.tag AS tag, unnest(t.vals) AS v FROM lvl1
+)
+SELECT tag, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
+FROM lvl2 GROUP BY tag ORDER BY tag
+"""
+
+
+# --------------------------------------------------------------------------
+# A-family addendum: ROLLUP (the reference's 5 cobertura tables are a
+# manual grouping-set, cobertura.py:436-446 — here expressed natively
+# so one pass produces detail + subtotal + grand-total levels).
+
+
+def rollup_orders_by_nation_segment(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .rollup("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "c_nationkey", "c_mktsegment")
+    )
+
+
+ROLLUP_ORDERS_SQL = f"""
+SELECT c_nationkey, c_mktsegment,
+       COUNT(*) AS n_orders,
+       {dsum_sql("o_totalprice", "revenue")},
+       CAST(GROUPING(c_nationkey) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_nationkey, c_mktsegment)
+ORDER BY gid, c_nationkey, c_mktsegment
+"""
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "json_array_explode": (json_array_explode, JSON_ARRAY_EXPLODE_SQL),
+    "double_nested_explode": (double_nested_explode, DOUBLE_NESTED_EXPLODE_SQL),
+    "rollup_orders_by_nation_segment": (rollup_orders_by_nation_segment, ROLLUP_ORDERS_SQL),
     "top_revenue_parts": (top_revenue_parts, TOP_REVENUE_PARTS_SQL),
     "customer_nation_region": (customer_nation_region, CUSTOMER_NATION_REGION_SQL),
     "coverage_two_level": (coverage_two_level, COVERAGE_TWO_LEVEL_SQL),

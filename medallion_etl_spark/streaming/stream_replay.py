@@ -49,6 +49,7 @@ def stream_replay(
     *,
     dedup_strategy: str = "agg",
     n_salts: int = 16,
+    merge_path: str = "auto",
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     timeout_sec: float | None = None,
@@ -80,6 +81,7 @@ def stream_replay(
             lsn_hi=int(bounds["hi"]),
             dedup_strategy=dedup_strategy,
             n_salts=n_salts,
+            merge_path=merge_path,
         )
         if res.get("skipped"):
             totals["epochs_skipped"] += 1

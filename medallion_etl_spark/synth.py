@@ -133,6 +133,19 @@ def write_events_shuffled(df: DataFrame, path: str, *, n_files: int = 32, seed: 
     )
 
 
+def write_events_ordered(df: DataFrame, path: str, *, n_files: int = 32) -> None:
+    """Persist the stream in LSN-ordered segments — the layout a real
+    WAL/binlog tail produces. Parquet min/max row-group stats on lsn
+    then let a chunk's ``lsn BETWEEN`` filter prune to ~1/n of the
+    files instead of scanning the whole stream per chunk."""
+    (
+        df.repartitionByRange(n_files, F.col("lsn"))
+        .sortWithinPartitions("lsn")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def gen_docs(
     spark: SparkSession,
     n_docs: int,

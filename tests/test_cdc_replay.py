@@ -127,11 +127,26 @@ def test_manifest_and_lineage(spark, tmp_path, events_path):
     assert (lin[lin["bytes_written"] > 0]["rows_applied"] > 0).all()
 
 
-@pytest.mark.parametrize("strategy", ["window", "agg", "salted"])
-def test_strategy_invariance(spark, tmp_path, events_path, events_pdf, strategy):
-    table = LakeTable.create(str(tmp_path / f"t_{strategy}"), n_buckets=4)
+@pytest.mark.parametrize(
+    "merge_path,strategy",
+    [
+        ("broadcast", "agg"),
+        ("agg", "window"),
+        ("agg", "agg"),
+        ("agg", "salted"),
+    ],
+)
+def test_merge_path_and_strategy_invariance(
+    spark, tmp_path, events_path, events_pdf, merge_path, strategy
+):
+    """Every physical merge plan — broadcast semi-join and all three
+    shuffle dedup strategies — produces the identical final state."""
+    table = LakeTable.create(str(tmp_path / f"t_{merge_path}_{strategy}"), n_buckets=4)
     events = spark.read.parquet(events_path)
-    replay(spark, events, table, chunk_size=4_000, dedup_strategy=strategy)
+    replay(
+        spark, events, table, chunk_size=4_000,
+        dedup_strategy=strategy, merge_path=merge_path,
+    )
     assert_frames_equal(
         _read_table(spark, LakeTable.load(table.root)), expected_final_state(events_pdf)
     )
