@@ -86,6 +86,10 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     registry = collect_queries()
     out: dict[str, float] = {}
+    # JIT warm-up: first query on a fresh JVM pays whole-stage-codegen
+    # compilation; run one untimed so timings measure the queries
+    if HEADLINE and HEADLINE[0] in registry:
+        _force(registry[HEADLINE[0]][0](spark, sf_dir))
     for name in HEADLINE:
         if name not in registry:
             continue

@@ -98,8 +98,17 @@ ORDER BY content_hash
 # pairs. DF_CAP bounds the fan-out of hot shingles before the self-join.
 
 
+def _spread(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The documents file is tiny on disk (one input split) but the
+    per-row hashing below is CPU-heavy — without an explicit
+    repartition the whole computation lands on ONE core. Small-input /
+    heavy-compute is exactly the case where repartitioning for CPU
+    parallelism beats Spark's size-based splitting."""
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
 def ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
-    docs = T(spark, sf, "documents")
+    docs = _spread(spark, T(spark, sf, "documents"))
     sh = docs.select("doc_id", F.explode(_shingles(_words())).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = sh.join(
@@ -170,8 +179,13 @@ def _minhash_sig(shingles: F.Column) -> F.Column:
 
 
 def minhash_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    docs = T(spark, sf, "documents")
-    sig = docs.select("doc_id", _minhash_sig(_shingles(_words())).alias("mh"))
+    docs = _spread(spark, T(spark, sf, "documents"))
+    # persist: the signature pipeline (9 md5 passes over every shingle)
+    # feeds BOTH sides of the band self-join and the final similarity —
+    # without it Spark recomputes the hashing 3x. The cached frame is
+    # tiny (one row per doc); at 100 TB this is a materialized
+    # signature table, the standard shape for LSH pipelines.
+    sig = docs.select("doc_id", _minhash_sig(_shingles(_words())).alias("mh")).persist()
     rows_per_band = N_HASHES // N_BANDS
     bands = sig.select(
         "doc_id",
@@ -258,7 +272,7 @@ SIMHASH_BITS = 16
 
 
 def simhash_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    docs = T(spark, sf, "documents")
+    docs = _spread(spark, T(spark, sf, "documents"))
     hashes = F.transform(
         F.array_distinct(_words()), lambda w: F.md5(F.encode(w, "UTF-8"))
     )
