@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-DEFAULT_CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+DEFAULT_CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
 
 # Bench tables/shuffle go to tmpfs when available: the sandbox is ONE
 # box with ONE disk, so at higher parallelism a disk-bound write is a
@@ -50,9 +50,9 @@ def _bench_conf(parallelism: int | None = None) -> dict[str, str]:
         # Emulate an N-core executor honestly: a real executor JVM gets
         # GC threads sized to ITS cores, not the host's 32. Only
         # effective in a fresh JVM (the --scaling subprocesses).
+        gc = min(max(parallelism, 2), 8)
         conf["spark.driver.extraJavaOptions"] = (
-            f"-XX:ParallelGCThreads={max(parallelism, 2)}"
-            f" -XX:ConcGCThreads={max(parallelism // 4, 1)}"
+            f"-XX:ParallelGCThreads={gc} -XX:ConcGCThreads={max(gc // 4, 1)}"
         )
     return conf
 
@@ -231,7 +231,9 @@ def main() -> None:
 
     spark = get_spark("bench", parallelism=args.parallelism, extra_conf=_bench_conf())
     queries = run_queries(spark, args.sf_dir)
-    cdc = run_cdc(spark, args.events)
+    # 2 production-shaped chunks: per-chunk fixed costs (stats job,
+    # commit) are amortized the way 10^8-event chunks would at scale
+    cdc = run_cdc(spark, args.events, n_chunks=2)
     queries["cdc_replay"] = cdc["wall_sec"]
     total = round(sum(queries.values()), 3)
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
