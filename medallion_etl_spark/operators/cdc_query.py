@@ -49,7 +49,13 @@ def cdc_replay_latest_state(spark: SparkSession, sf: str) -> DataFrame:
     root = f"{tmp}/t"
     try:
         table = LakeTable.create(root, n_buckets=8, schema_version=2)
-        replay(spark, stream, table, chunk_size=chunk, dedup_strategy="salted")
+        # merge_path="agg" so the driver's correctness gate exercises
+        # the explicitly-salted shuffle dedup (auto would pick the
+        # broadcast path on a stream this small)
+        replay(
+            spark, stream, table, chunk_size=chunk,
+            dedup_strategy="salted", merge_path="agg",
+        )
         final = LakeTable.load(root).read(spark)
         out = final.select(
             "doc_id",
