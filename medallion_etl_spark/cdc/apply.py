@@ -142,6 +142,10 @@ def apply_batch(
         # instead of ~|chunk| + |table|.
         winners = combined.select(key, "_ord").groupBy(key).agg(F.max("_ord").alias("_ord"))
         merged = combined.join(F.broadcast(winners), [key, "_ord"], "left_semi").drop("_ord")
+        # the semi-join is map-side (no shuffle), so survivors still sit
+        # in scan order; cluster them by key once so the partitionBy
+        # write emits one file per bucket instead of files x tasks
+        merged = merged.repartition(table.n_buckets, F.col(key))
     else:
         # Fallback when the chunk's key set is too large to broadcast:
         # shuffle-based LWW reduction (strategy-selectable, incl. the
@@ -153,13 +157,13 @@ def apply_batch(
 
     rel_dir = table.new_data_dir()
     out_dir = os.path.join(table.root, rel_dir)
-    # Cluster rows so each bucket lands in exactly one task -> one
-    # parquet file per bucket dir. Without this, partitionBy fans every
-    # shuffle partition across every bucket (n_tasks × n_buckets tiny
-    # files) and the next chunk's read-back drowns in file listings.
-    merged.repartition(table.n_buckets, F.col("_bucket")).write.mode(
-        "overwrite"
-    ).partitionBy("_bucket").parquet(out_dir)
+    # No repartition before the write: the merge reduction shuffled on
+    # the key, and bucket_expr is Spark's own hash-partitioning
+    # function, so each bucket is already contained in one task
+    # (n_buckets is a multiple of shuffle partitions) -> one file per
+    # bucket dir for free. An unaligned config degrades to more files
+    # per bucket, never to incorrect data.
+    merged.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
 
     # map written bucket dirs; a changed bucket with all rows deleted
     # produces no dir and is dropped from metadata

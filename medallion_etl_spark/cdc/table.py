@@ -62,7 +62,13 @@ def stored_schema(schema_version: int) -> T.StructType:
 
 
 def bucket_expr(key_col: str, n_buckets: int) -> F.Column:
-    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    """Bucket id = pmod(murmur3(key), n_buckets) — deliberately THE
+    SAME function Spark's HashPartitioning uses, so any frame that was
+    shuffled on the key (groupBy, window) already has every bucket
+    contained in a single partition whenever n_buckets is a multiple
+    of the shuffle partition count. The merge write exploits this:
+    no extra repartition, one file per bucket dir."""
+    return F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
 class LakeTable:
