@@ -219,7 +219,64 @@ ORDER BY query_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# Grouped Arrow-batched operator: per-label centroid + per-vector
+# distance via applyInPandas — the IVF building block (centroids =
+# coarse quantizer cells; at scale the same shape trains/assigns cells
+# per partition). numpy does the per-group math on Arrow-delivered
+# batches; no per-row Python.
+
+CENTROID_DIST_SCHEMA = "label int, vec_id long, dist_to_centroid double"
+
+
+def _label_centroid_dist(pdf):
+    import numpy as np
+    import pandas as pd
+
+    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    centroid = mat.mean(axis=0)
+    dist = np.sqrt(((mat - centroid) ** 2).sum(axis=1))
+    return pd.DataFrame(
+        {
+            "label": pdf["label"],
+            "vec_id": pdf["vec_id"],
+            "dist_to_centroid": np.round(dist, 6),
+        }
+    )
+
+
+def embedding_centroid_distance(spark: SparkSession, sf: str) -> DataFrame:
+    emb = T(spark, sf, "embeddings")
+    return (
+        emb.groupBy("label")
+        .applyInPandas(_label_centroid_dist, CENTROID_DIST_SCHEMA)
+        .orderBy("label", "vec_id")
+    )
+
+
+EMBEDDING_CENTROID_DISTANCE_SQL = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), cent AS (
+  SELECT label, i, AVG(e[i]) AS c
+  FROM v, range(1, {DIM + 1}) t(i)
+  GROUP BY label, i
+), d AS (
+  SELECT v.label, v.vec_id,
+         sqrt(SUM((v.e[t.i] - cent.c) * (v.e[t.i] - cent.c))) AS dist
+  FROM v, range(1, {DIM + 1}) t(i)
+  JOIN cent ON cent.label = v.label AND cent.i = t.i
+  GROUP BY v.label, v.vec_id
+)
+SELECT label, vec_id, round(dist, 6) AS dist_to_centroid
+FROM d
+ORDER BY label, vec_id
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_BRUTEFORCE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_TOPK_SQL),
+    "embedding_centroid_distance": (embedding_centroid_distance, EMBEDDING_CENTROID_DISTANCE_SQL),
 }
