@@ -37,10 +37,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import DOCS_SCHEMAS
 from .dedup import dedup_latest
+from .evolve import aligned_cols
 from .lineage import write_lineage
-from .table import LakeTable, bucket_expr
+from .table import LakeTable, bucket_expr, count_dir_rows
 
 
 def _dir_bytes(path: str) -> int:
@@ -110,14 +110,11 @@ def apply_batch(
         target_sv = max(target_sv, max(int(r["max_sv"]) for r in stats))
 
     def to_storage_layout(df: DataFrame, lsn_col: F.Column, deleted_col: F.Column) -> DataFrame:
-        have = set(df.columns)
-        cols = [
-            (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(
-                f.name
-            )
-            for f in DOCS_SCHEMAS[target_sv].fields
-        ]
-        return df.select(*cols, lsn_col.alias("_lsn"), deleted_col.alias("_deleted"))
+        return df.select(
+            *aligned_cols(set(df.columns), target_sv),
+            lsn_col.alias("_lsn"),
+            deleted_col.alias("_deleted"),
+        )
 
     # FUSED dedup + merge: the chunk's own LWW dedup and the merge
     # against base are the same reduction (max LSN per key), run ONCE
@@ -132,7 +129,13 @@ def apply_batch(
     )
 
     total_events = sum(int(r["rows_applied"]) for r in stats)
-    if merge_path == "broadcast" or (merge_path == "auto" and total_events <= broadcast_limit):
+    # the broadcast set is the keys of base∪chunk, so the gate must
+    # count BOTH: chunk events bound the chunk keys, and the metadata's
+    # per-bucket row counts bound the base keys in touched buckets
+    broadcast_keys_bound = total_events + table.bucket_rows(changed)
+    if merge_path == "broadcast" or (
+        merge_path == "auto" and broadcast_keys_bound <= broadcast_limit
+    ):
         # Winner selection via broadcast semi-join: the winners pass
         # reads ONLY (key, _ord) — parquet column pruning keeps token
         # arrays out of it entirely — and the semi-join filters losers
@@ -142,10 +145,13 @@ def apply_batch(
         # instead of ~|chunk| + |table|.
         winners = combined.select(key, "_ord").groupBy(key).agg(F.max("_ord").alias("_ord"))
         merged = combined.join(F.broadcast(winners), [key, "_ord"], "left_semi").drop("_ord")
-        # the semi-join is map-side (no shuffle), so survivors still sit
-        # in scan order; cluster them by key once so the partitionBy
-        # write emits one file per bucket instead of files x tasks
-        merged = merged.repartition(table.n_buckets, F.col(key))
+        # The semi-join keeps EVERY copy of the winning event if an
+        # at-least-once source delivered it twice in one chunk (same
+        # key, same lsn -> same _ord). dropDuplicates collapses them
+        # (copies are identical rows) and its shuffle doubles as the
+        # clustering the bucket write needs — replacing the plain
+        # repartition, not adding to it.
+        merged = merged.dropDuplicates([key])
     else:
         # Fallback when the chunk's key set is too large to broadcast:
         # shuffle-based LWW reduction (strategy-selectable, incl. the
@@ -195,5 +201,8 @@ def apply_batch(
         removed,
         (batch_id, {"lsn_lo": lsn_lo, "lsn_hi": lsn_hi, "rows_applied": rows_applied}),
         schema_version=target_sv if target_sv != table.schema_version else None,
+        bucket_row_counts={
+            b: count_dir_rows(os.path.join(table.root, rel)) for b, rel in new_dirs.items()
+        },
     )
     return {"batch_id": batch_id, "rows_applied": rows_applied, "buckets": changed}

@@ -14,41 +14,40 @@ Widening casts are lossless by construction; narrowing is refused.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Collection
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..schemas import DOCS_SCHEMAS
 
 
+def aligned_cols(have: Collection[str], to_version: int) -> list[Column]:
+    """THE one alignment rule (add-column -> NULL, cast to target
+    type), as a column list so callers can append bookkeeping columns
+    (``_lsn``/``_deleted``) in the same select. Every alignment in the
+    engine — read-time, upsert payloads, merge layout — goes through
+    here so a schema change is reconciled in exactly one place."""
+    return [
+        (
+            F.col(f.name).cast(f.dataType)
+            if f.name in have
+            else F.lit(None).cast(f.dataType)
+        ).alias(f.name)
+        for f in DOCS_SCHEMAS[to_version].fields
+    ]
+
+
 def align_to_version(df: DataFrame, from_version: int, to_version: int) -> DataFrame:
     """Project ``df`` (shaped like DOCS_SCHEMAS[from_version]) onto
-    DOCS_SCHEMAS[to_version]: add missing nullable columns as NULL and
-    cast widened columns. Column order canonicalized."""
+    DOCS_SCHEMAS[to_version]. Narrowing (int64 -> int32 etc.) would be
+    lossy and is refused."""
     if to_version < from_version:
         raise ValueError(f"cannot narrow schema v{from_version} -> v{to_version}")
-    target = DOCS_SCHEMAS[to_version]
-    have = {f.name: f.dataType for f in df.schema.fields}
-    cols = []
-    for field in target.fields:
-        if field.name in have:
-            col = F.col(field.name)
-            if have[field.name] != field.dataType:
-                col = col.cast(field.dataType)
-            cols.append(col.alias(field.name))
-        else:
-            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
-    return df.select(*cols)
+    return df.select(*aligned_cols(set(df.columns), to_version))
 
 
 def align_frame(df: DataFrame, to_version: int) -> DataFrame:
     """Align an arbitrary frame carrying some subset of doc columns to
     the target schema version (used for upsert payloads)."""
-    target = DOCS_SCHEMAS[to_version]
-    cols = []
-    have = set(df.columns)
-    for field in target.fields:
-        if field.name in have:
-            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
-        else:
-            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
-    return df.select(*cols)
+    return df.select(*aligned_cols(set(df.columns), to_version))

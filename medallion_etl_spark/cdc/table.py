@@ -4,7 +4,7 @@ The sandbox has no Iceberg/Delta jars, so exactly-once upserts are
 built from first principles the same way those formats do it:
 
 - **Immutable data files**, grouped into hash buckets:
-  ``bucket = pmod(xxhash64(doc_id), n_buckets)``. An upsert batch only
+  ``bucket = pmod(murmur3(doc_id), n_buckets)``. An upsert batch only
   rewrites the buckets that contain changed keys (copy-on-write at
   bucket granularity); untouched buckets keep their existing files.
   At 100 TB this is the difference between rewriting the table per
@@ -36,8 +36,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schemas import DOCS_SCHEMAS
+from .evolve import aligned_cols
 
-FORMAT_VERSION = 1
+# v2: bucket function changed xxhash64 -> murmur3 (F.hash); a v1
+# table's bucket layout is unreadable by v2 code and vice versa, so
+# load() refuses on mismatch instead of silently mis-bucketing.
+FORMAT_VERSION = 2
 
 # Row-level bookkeeping persisted in every data file (never surfaced by
 # a non-raw read):
@@ -59,6 +63,19 @@ INTERNAL_COLS = [f.name for f in INTERNAL_FIELDS]
 
 def stored_schema(schema_version: int) -> T.StructType:
     return T.StructType(list(DOCS_SCHEMAS[schema_version].fields) + INTERNAL_FIELDS)
+
+
+def count_dir_rows(abs_dir: str) -> int:
+    """Row count of a bucket dir from parquet footers (driver-side,
+    no Spark job — footers only)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dirpath, _dirs, files in os.walk(abs_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(dirpath, fn)).metadata.num_rows
+    return total
 
 
 def bucket_expr(key_col: str, n_buckets: int) -> F.Column:
@@ -109,6 +126,12 @@ class LakeTable:
             name = f.read().strip()
         with open(os.path.join(root, "metadata", name)) as f:
             meta = json.load(f)
+        if meta.get("format_version") != FORMAT_VERSION:
+            raise ValueError(
+                f"table at {root} has format_version {meta.get('format_version')}, "
+                f"this engine reads {FORMAT_VERSION} (bucket layouts differ; "
+                "rewrite the table with the matching engine version)"
+            )
         return cls(root, meta)
 
     @classmethod
@@ -167,21 +190,11 @@ class LakeTable:
                 os.path.join(self.root, entry["dir"])
             )
         target_sv = self.schema_version
-        target = DOCS_SCHEMAS[target_sv]
         parts: list[DataFrame] = []
         for sv, dirs in by_sv.items():
             df = spark.read.schema(stored_schema(sv)).parquet(*dirs)
-            have = {f.name: f.dataType for f in DOCS_SCHEMAS[sv].fields}
-            cols = []
-            for field in target.fields:
-                if field.name in have:
-                    c = F.col(field.name)
-                    if have[field.name] != field.dataType:
-                        c = c.cast(field.dataType)
-                    cols.append(c.alias(field.name))
-                else:
-                    cols.append(F.lit(None).cast(field.dataType).alias(field.name))
-            parts.append(df.select(*cols, *INTERNAL_COLS))
+            have = {f.name for f in DOCS_SCHEMAS[sv].fields}
+            parts.append(df.select(*aligned_cols(have, target_sv), *INTERNAL_COLS))
         if not parts:
             out = spark.createDataFrame([], stored_schema(target_sv))
         else:
@@ -219,7 +232,14 @@ class LakeTable:
                 b = int(entry.split("=", 1)[1])
                 new_dirs[b] = os.path.join(rel_dir, entry)
         removed = {int(b) for b in self.meta["buckets"]} - set(new_dirs)
-        self.commit(new_dirs, removed, None)
+        self.commit(
+            new_dirs,
+            removed,
+            None,
+            bucket_row_counts={
+                b: count_dir_rows(os.path.join(self.root, rel)) for b, rel in new_dirs.items()
+            },
+        )
         return {"buckets": sorted(new_dirs), "buckets_dropped": sorted(removed)}
 
     # ---- commit ----------------------------------------------------------
@@ -231,12 +251,23 @@ class LakeTable:
         """
         return os.path.join("data", f"v{self.version + 1}")
 
+    def bucket_rows(self, buckets: list[int] | None = None) -> int:
+        """Total stored rows (incl. tombstones) in the given buckets,
+        from commit-time footer counts — lets the merge's 'auto' path
+        bound the broadcast by |base keys| without a counting job."""
+        total = 0
+        for b_str, entry in self.meta["buckets"].items():
+            if buckets is None or int(b_str) in buckets:
+                total += int(entry.get("rows", 0))
+        return total
+
     def commit(
         self,
         new_bucket_dirs: dict[int, str],
         removed_buckets: set[int],
         batch_record: tuple[int, dict] | None,
         schema_version: int | None = None,
+        bucket_row_counts: dict[int, int] | None = None,
     ) -> None:
         """Atomically publish: rewritten bucket pointers + manifest entry
         (+ optional schema evolution) in one metadata swap."""
@@ -248,7 +279,11 @@ class LakeTable:
         for b in removed_buckets:
             meta["buckets"].pop(str(b), None)
         for b, rel_dir in new_bucket_dirs.items():
-            meta["buckets"][str(b)] = {"dir": rel_dir, "schema_version": sv}
+            meta["buckets"][str(b)] = {
+                "dir": rel_dir,
+                "schema_version": sv,
+                "rows": int((bucket_row_counts or {}).get(b, 0)),
+            }
         if batch_record is not None:
             batch_id, rec = batch_record
             meta["committed_batches"][str(batch_id)] = rec

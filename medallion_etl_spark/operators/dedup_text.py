@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table as T
+from .util import spread
 
 N_HASHES = 8
 N_BANDS = 4  # bands of 2 rows each
@@ -87,7 +88,7 @@ EXACT_DEDUP_DOCS_SQL = """
 SELECT md5(lower(trim(text))) AS content_hash,
        min(doc_id) AS canonical_doc_id,
        count(*) AS n_copies,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1
 ORDER BY content_hash
@@ -98,17 +99,8 @@ ORDER BY content_hash
 # pairs. DF_CAP bounds the fan-out of hot shingles before the self-join.
 
 
-def _spread(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """The documents file is tiny on disk (one input split) but the
-    per-row hashing below is CPU-heavy — without an explicit
-    repartition the whole computation lands on ONE core. Small-input /
-    heavy-compute is exactly the case where repartitioning for CPU
-    parallelism beats Spark's size-based splitting."""
-    return docs.repartition(spark.sparkContext.defaultParallelism)
-
-
 def ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _spread(spark, T(spark, sf, "documents"))
+    docs = spread(spark, T(spark, sf, "documents"))
     sh = docs.select("doc_id", F.explode(_shingles(_words())).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = sh.join(
@@ -179,7 +171,7 @@ def _minhash_sig(shingles: F.Column) -> F.Column:
 
 
 def minhash_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _spread(spark, T(spark, sf, "documents"))
+    docs = spread(spark, T(spark, sf, "documents"))
     # persist: the signature pipeline (9 md5 passes over every shingle)
     # feeds BOTH sides of the band self-join and the final similarity —
     # without it Spark recomputes the hashing 3x. The cached frame is
@@ -272,7 +264,7 @@ SIMHASH_BITS = 16
 
 
 def simhash_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _spread(spark, T(spark, sf, "documents"))
+    docs = spread(spark, T(spark, sf, "documents"))
     hashes = F.transform(
         F.array_distinct(_words()), lambda w: F.md5(F.encode(w, "UTF-8"))
     )

@@ -226,7 +226,7 @@ ORDER BY query_id, rank
 # per partition). numpy does the per-group math on Arrow-delivered
 # batches; no per-row Python.
 
-CENTROID_DIST_SCHEMA = "label int, vec_id long, dist_to_centroid double"
+CENTROID_DIST_SCHEMA = "label int, vec_id long, dist_to_centroid float"
 
 
 def _label_centroid_dist(pdf):
@@ -235,12 +235,16 @@ def _label_centroid_dist(pdf):
 
     mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
     centroid = mat.mean(axis=0)
-    dist = np.sqrt(((mat - centroid) ** 2).sum(axis=1))
+    # float32 output: numpy's pairwise summation and the oracle's
+    # sequential SUM differ by ~1 ulp of float64; quantizing to float32
+    # (whose ulp is ~1e7 x larger) makes both engines emit identical
+    # bits, unlike round(, 6) which keeps a knife-edge at .5e-6
+    dist = np.sqrt(((mat - centroid) ** 2).sum(axis=1)).astype("float32")
     return pd.DataFrame(
         {
             "label": pdf["label"],
             "vec_id": pdf["vec_id"],
-            "dist_to_centroid": np.round(dist, 6),
+            "dist_to_centroid": dist,
         }
     )
 
@@ -269,7 +273,7 @@ WITH v AS (
   JOIN cent ON cent.label = v.label AND cent.i = t.i
   GROUP BY v.label, v.vec_id
 )
-SELECT label, vec_id, round(dist, 6) AS dist_to_centroid
+SELECT label, vec_id, CAST(dist AS REAL) AS dist_to_centroid
 FROM d
 ORDER BY label, vec_id
 """

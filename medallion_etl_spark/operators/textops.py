@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table as T
+from .util import spread
 
 # Markers for the n-gram/stopword language-ID heuristic. The synthetic
 # corpus is English-like for every label, so accuracy is not the point —
@@ -48,7 +49,7 @@ BPE_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
 
 
 def doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
-    docs = T(spark, sf, "documents")
+    docs = spread(spark, T(spark, sf, "documents"))
     lowered = F.lower("text")
     words = F.split(lowered, " ")
     return docs.select(
@@ -76,7 +77,7 @@ ORDER BY doc_id
 
 
 def doc_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
-    docs = T(spark, sf, "documents")
+    docs = spread(spark, T(spark, sf, "documents"))
     lowered = F.lower("text")
     words = F.split(lowered, " ")
     n_words = F.size(words)
@@ -134,7 +135,7 @@ ORDER BY doc_id
 
 
 def lang_id_ngram(spark: SparkSession, sf: str) -> DataFrame:
-    docs = T(spark, sf, "documents")
+    docs = spread(spark, T(spark, sf, "documents"))
     words = F.split(F.lower("text"), " ")
 
     def marker_score(markers: list[str]) -> F.Column:
@@ -208,7 +209,7 @@ SHINGLE = 4
 
 
 def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    docs = T(spark, sf, "documents")
+    docs = spread(spark, T(spark, sf, "documents"))
     words = F.split(F.lower("text"), " ")
     n = F.size(words)
     shingles = F.when(

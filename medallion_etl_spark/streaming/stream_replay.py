@@ -40,6 +40,14 @@ from ..schemas import EVENTS_SCHEMA
 from ..cdc.apply import apply_batch
 from ..cdc.table import LakeTable
 
+# Streaming epochs and batch-replay chunk ids share the table's one
+# commit manifest; without a namespace, epoch 0 of a streaming drain
+# onto a table that already has batch chunk 0 committed would be
+# silently skipped (checkpoint advances, events lost). Batch chunk ids
+# are dense-from-zero and bounded by stream_size/chunk_size, far below
+# this base.
+STREAM_EPOCH_BASE = 1 << 40
+
 
 def stream_replay(
     spark: SparkSession,
@@ -76,7 +84,7 @@ def stream_replay(
             spark,
             table,
             batch_df,
-            batch_id=int(epoch_id),
+            batch_id=STREAM_EPOCH_BASE + int(epoch_id),
             lsn_lo=int(bounds["lo"]),
             lsn_hi=int(bounds["hi"]),
             dedup_strategy=dedup_strategy,
@@ -103,6 +111,10 @@ def stream_replay(
         query = writer.trigger(availableNow=True).start()
         query.awaitTermination()
     else:
+        if timeout_sec is None:
+            raise ValueError(
+                "available_now=False tails the stream forever; pass timeout_sec"
+            )
         query = writer.start()
         query.awaitTermination(timeout_sec)
         query.stop()

@@ -64,6 +64,30 @@ def test_stream_redrain_is_noop(spark, tmp_path, events_path, events_pdf):
     )
 
 
+def test_streaming_after_batch_replay_same_table(spark, tmp_path, events_path, events_pdf):
+    """Batch-replay part of the stream (manifest ids 0..n), then drain
+    the REST via streaming onto the same table: streaming epoch ids
+    are namespaced, so epoch 0 must not collide with batch chunk 0 and
+    silently skip (the data-loss bug this pins)."""
+    from medallion_etl_spark.cdc.replay import replay
+
+    root = str(tmp_path / "t")
+    table = LakeTable.create(root, n_buckets=8)
+    events = spark.read.parquet(events_path)
+    first_half = events.filter(F.col("lsn") < N_EVENTS // 2)
+    replay(spark, first_half, table, chunk_size=N_EVENTS // 4)  # commits batch ids 0,1
+    assert 0 in LakeTable.load(root).committed_batches()
+
+    # second half arrives as a stream into the SAME table
+    tail_dir = str(tmp_path / "tail")
+    events.filter(F.col("lsn") >= N_EVENTS // 2).repartition(2).write.parquet(tail_dir)
+    totals = stream_replay(spark, tail_dir, root, str(tmp_path / "ckpt"))
+    assert totals["epochs"] >= 1 and totals["epochs_skipped"] == 0
+    assert_frames_equal(
+        LakeTable.load(root).read(spark).toPandas(), expected_final_state(events_pdf)
+    )
+
+
 def test_out_of_order_batches_converge(spark, tmp_path, events_path, events_pdf):
     """Apply the LSN chunks in scrambled order: the tombstone merge is
     max-LSN-wins, so the final state must equal in-order replay."""
