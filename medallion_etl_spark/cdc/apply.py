@@ -63,6 +63,7 @@ def apply_batch(
     n_salts: int = 16,
     merge_path: str = "auto",
     broadcast_limit: int = 20_000_000,
+    precomputed_stats: list[dict] | None = None,
 ) -> dict:
     """Apply one LSN-chunk of change events. Idempotent: an already
     committed batch_id is a no-op; a crash before commit leaves the
@@ -79,26 +80,31 @@ def apply_batch(
 
     key = table.key_col
 
-    # one small job over the RAW chunk (map-side partial agg collapses
-    # it to n_buckets rows per task — no shuffle of data, no dedup
-    # needed first): touched buckets + per-bucket lineage stats + the
-    # stream's max schema_version, all in one driver round-trip
+    # per-bucket chunk stats: touched buckets + lineage + the stream's
+    # max schema_version. The batch replayer precomputes these for ALL
+    # chunks in one upfront aggregation (see replay.py) so the per-
+    # chunk path has no extra job; direct callers (streaming epochs,
+    # tests) fall back to computing them here — one small job, map-side
+    # partial agg collapsing to n_buckets rows per task.
     has_sv = "schema_version" in chunk.columns
-    sv_agg = (
-        [F.max("schema_version").alias("max_sv")]
-        if has_sv
-        else [F.lit(None).cast("int").alias("max_sv")]
-    )
-    stats = (
-        chunk.groupBy(bucket_expr(key, table.n_buckets).alias("_bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("rows_applied"),
-            F.min("lsn").alias("lsn_lo"),
-            F.max("lsn").alias("lsn_hi"),
-            *sv_agg,
+    if precomputed_stats is not None:
+        stats = precomputed_stats
+    else:
+        sv_agg = (
+            [F.max("schema_version").alias("max_sv")]
+            if has_sv
+            else [F.lit(None).cast("int").alias("max_sv")]
         )
-        .collect()
-    )
+        stats = (
+            chunk.groupBy(bucket_expr(key, table.n_buckets).alias("_bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("rows_applied"),
+                F.min("lsn").alias("lsn_lo"),
+                F.max("lsn").alias("lsn_hi"),
+                *sv_agg,
+            )
+            .collect()
+        )
     changed = sorted(int(r["_bucket"]) for r in stats)
     if not changed:
         table.commit({}, set(), (batch_id, {"lsn_lo": lsn_lo, "lsn_hi": lsn_hi, "rows_applied": 0}))
@@ -107,7 +113,9 @@ def apply_batch(
     # schema evolution: the stream tells us when to evolve
     target_sv = table.schema_version
     if has_sv:
-        target_sv = max(target_sv, max(int(r["max_sv"]) for r in stats))
+        svs = [r["max_sv"] for r in stats if r["max_sv"] is not None]
+        if svs:
+            target_sv = max(target_sv, max(int(s) for s in svs))
 
     def to_storage_layout(df: DataFrame, lsn_col: F.Column, deleted_col: F.Column) -> DataFrame:
         return df.select(

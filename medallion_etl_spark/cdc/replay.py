@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .apply import apply_batch
 from .manifest import pending_chunks, plan_chunks
-from .table import LakeTable
+from .table import LakeTable, bucket_expr
 
 
 def replay(
@@ -47,10 +47,41 @@ def replay(
     bounds = events.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
     if bounds["lo"] is None:
         return {"batches_applied": 0, "rows_applied": 0}
-    chunks = plan_chunks(int(bounds["lo"]), int(bounds["hi"]), chunk_size)
+    lsn_min = int(bounds["lo"])
+    chunks = plan_chunks(lsn_min, int(bounds["hi"]), chunk_size)
     todo = pending_chunks(table, chunks)
     if max_batches is not None:
         todo = todo[:max_batches]
+
+    # ONE upfront aggregation computes every chunk's per-bucket stats
+    # (chunk index is a pure function of lsn and the deterministic
+    # plan), so the apply loop runs exactly one job per chunk instead
+    # of stats-job + merge-job. Map-side partial agg keeps the shuffle
+    # at n_chunks x n_buckets rows.
+    stats_by_chunk: dict[int, list] = {}
+    if todo:
+        has_sv = "schema_version" in events.columns
+        sv_agg = (
+            [F.max("schema_version").alias("max_sv")]
+            if has_sv
+            else [F.lit(None).cast("int").alias("max_sv")]
+        )
+        chunk_idx = F.floor((F.col("lsn") - F.lit(lsn_min)) / F.lit(chunk_size)).cast("int")
+        all_stats = (
+            events.groupBy(
+                chunk_idx.alias("_chunk"),
+                bucket_expr(table.key_col, table.n_buckets).alias("_bucket"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("rows_applied"),
+                F.min("lsn").alias("lsn_lo"),
+                F.max("lsn").alias("lsn_hi"),
+                *sv_agg,
+            )
+            .collect()
+        )
+        for r in all_stats:
+            stats_by_chunk.setdefault(int(r["_chunk"]), []).append(r)
 
     batches = 0
     rows = 0
@@ -66,6 +97,7 @@ def replay(
             dedup_strategy=dedup_strategy,
             n_salts=n_salts,
             merge_path=merge_path,
+            precomputed_stats=stats_by_chunk.get(batch_id, []),
         )
         if not res.get("skipped"):
             batches += 1
