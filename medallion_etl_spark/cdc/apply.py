@@ -62,7 +62,7 @@ def apply_batch(
     dedup_strategy: str = "salted",
     n_salts: int = 16,
     merge_path: str = "auto",
-    broadcast_limit: int = 20_000_000,
+    broadcast_limit_bytes: int = 256 << 20,
     precomputed_stats: list[dict] | None = None,
 ) -> dict:
     """Apply one LSN-chunk of change events. Idempotent: an already
@@ -73,9 +73,27 @@ def apply_batch(
     semi-join (payload never shuffles — right when the chunk's key set
     fits the driver); 'agg' uses the shuffle-based LWW reduction
     (``dedup_strategy`` picks the physical plan); 'auto' broadcasts
-    when the chunk has at most ``broadcast_limit`` events.
+    when the estimated (key, _ord) hash relation stays under
+    ``broadcast_limit_bytes`` (default 256 MiB) — a byte bound, since
+    what actually lands on the driver and every executor is a hash
+    relation, not a row count.
     """
     if table.is_committed(batch_id):
+        # A skip is only safe when this is a true redelivery — same
+        # batch identity, same LSN range. A committed id with a
+        # DIFFERENT range means two distinct streams collided on one
+        # batch-id namespace (e.g. a recreated streaming checkpoint
+        # restarting epochs at 0): skipping would silently drop data,
+        # so fail loudly instead.
+        rec = table.committed_batches()[batch_id]
+        if (int(rec["lsn_lo"]), int(rec["lsn_hi"])) != (int(lsn_lo), int(lsn_hi)):
+            raise RuntimeError(
+                f"batch_id {batch_id} already committed for LSN range "
+                f"[{rec['lsn_lo']}, {rec['lsn_hi']}] but was re-presented "
+                f"with range [{lsn_lo}, {lsn_hi}]: batch-id collision between "
+                "distinct streams/chunkings, not an idempotent redelivery. "
+                "Use a distinct checkpoint/namespace (or the original chunk_size)."
+            )
         return {"batch_id": batch_id, "skipped": True}
 
     key = table.key_col
@@ -139,10 +157,19 @@ def apply_batch(
     total_events = sum(int(r["rows_applied"]) for r in stats)
     # the broadcast set is the keys of base∪chunk, so the gate must
     # count BOTH: chunk events bound the chunk keys, and the metadata's
-    # per-bucket row counts bound the base keys in touched buckets
-    broadcast_keys_bound = total_events + table.bucket_rows(changed)
+    # per-bucket row counts bound the base keys in touched buckets.
+    # bucket_rows() returns None when any touched bucket has no stored
+    # count — unknown size must force the shuffle path, never broadcast
+    # on an understated bound. ~48 bytes/entry models the broadcast
+    # hash relation (key + _ord longs + hash-table overhead).
+    base_rows = table.bucket_rows(changed)
+    broadcast_est_bytes = (
+        None if base_rows is None else (total_events + base_rows) * 48
+    )
     if merge_path == "broadcast" or (
-        merge_path == "auto" and broadcast_keys_bound <= broadcast_limit
+        merge_path == "auto"
+        and broadcast_est_bytes is not None
+        and broadcast_est_bytes <= broadcast_limit_bytes
     ):
         # Winner selection via broadcast semi-join: the winners pass
         # reads ONLY (key, _ord) — parquet column pruning keeps token
@@ -151,8 +178,23 @@ def apply_batch(
         # final bucket write. On a memory-bandwidth-bound box (and at
         # 100 TB, on the network) this moves ~|table| bytes per chunk
         # instead of ~|chunk| + |table|.
-        winners = combined.select(key, "_ord").groupBy(key).agg(F.max("_ord").alias("_ord"))
-        merged = combined.join(F.broadcast(winners), [key, "_ord"], "left_semi").drop("_ord")
+        winners = (
+            combined.select(key, "_ord")
+            .groupBy(key)
+            .agg(F.max("_ord").alias("_w_ord"))
+            .withColumnRenamed(key, "_w_key")
+        )
+        # null-safe key equality: groupBy (here and in the agg path)
+        # treats NULL keys as one group, so the semi-join must too —
+        # plain `=` would drop every NULL-key row on this path only,
+        # making 'auto' results depend on which physical path ran.
+        # EqualNullSafe is still a hash-join key, so this stays a
+        # BroadcastHashJoin.
+        merged = combined.join(
+            F.broadcast(winners),
+            F.col(key).eqNullSafe(F.col("_w_key")) & (F.col("_ord") == F.col("_w_ord")),
+            "left_semi",
+        ).drop("_ord")
         # The semi-join keeps EVERY copy of the winning event if an
         # at-least-once source delivered it twice in one chunk (same
         # key, same lsn -> same _ord). dropDuplicates collapses them

@@ -66,7 +66,11 @@ def replay(
             if has_sv
             else [F.lit(None).cast("int").alias("max_sv")]
         )
-        chunk_idx = F.floor((F.col("lsn") - F.lit(lsn_min)) / F.lit(chunk_size)).cast("int")
+        # exact integer division (`div`), NOT float floor: double
+        # arithmetic loses integer precision past 2^53, and a chunk
+        # index that disagrees with plan_chunks' integer ranges would
+        # attribute a boundary event's bucket stats to the wrong chunk
+        chunk_idx = F.expr(f"(lsn - {lsn_min}L) div {chunk_size}L").cast("int")
         all_stats = (
             events.groupBy(
                 chunk_idx.alias("_chunk"),

@@ -251,14 +251,20 @@ class LakeTable:
         """
         return os.path.join("data", f"v{self.version + 1}")
 
-    def bucket_rows(self, buckets: list[int] | None = None) -> int:
+    def bucket_rows(self, buckets: list[int] | None = None) -> int | None:
         """Total stored rows (incl. tombstones) in the given buckets,
         from commit-time footer counts — lets the merge's 'auto' path
-        bound the broadcast by |base keys| without a counting job."""
+        bound the broadcast by |base keys| without a counting job.
+
+        Returns ``None`` if ANY requested bucket lacks a stored count:
+        an unknown size must be treated as unbounded by callers (force
+        the shuffle path), never understated as 0."""
         total = 0
         for b_str, entry in self.meta["buckets"].items():
             if buckets is None or int(b_str) in buckets:
-                total += int(entry.get("rows", 0))
+                if "rows" not in entry:
+                    return None
+                total += int(entry["rows"])
         return total
 
     def commit(
@@ -279,11 +285,13 @@ class LakeTable:
         for b in removed_buckets:
             meta["buckets"].pop(str(b), None)
         for b, rel_dir in new_bucket_dirs.items():
-            meta["buckets"][str(b)] = {
-                "dir": rel_dir,
-                "schema_version": sv,
-                "rows": int((bucket_row_counts or {}).get(b, 0)),
-            }
+            entry = {"dir": rel_dir, "schema_version": sv}
+            # store a count only when the caller measured one; an
+            # absent key means "unknown" (bucket_rows -> None), which
+            # is safer than a phantom 0 understating broadcast bounds
+            if bucket_row_counts is not None and b in bucket_row_counts:
+                entry["rows"] = int(bucket_row_counts[b])
+            meta["buckets"][str(b)] = entry
         if batch_record is not None:
             batch_id, rec = batch_record
             meta["committed_batches"][str(batch_id)] = rec

@@ -43,7 +43,11 @@ META_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("n_frames", T.IntegerType()),
-        T.StructField("sampled_frames", T.ArrayType(T.IntegerType())),
+        # comma-joined string, not array<int>: the driver's pandas
+        # canonicalizer sorts rows over all columns and Python lists
+        # are unhashable (round-1 red row) — a scalar keeps the
+        # contract checkable and the values identical
+        T.StructField("sampled_frames", T.StringType()),
     ]
 )
 
@@ -84,7 +88,9 @@ def _extract_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "width": [m[1] for m in meta],
                 "height": [m[2] for m in meta],
                 "n_frames": [m[3] for m in meta],
-                "sampled_frames": [_sample_indices(m[3]) for m in meta],
+                "sampled_frames": [
+                    ",".join(str(i) for i in _sample_indices(m[3])) for m in meta
+                ],
             }
         )
 
@@ -124,9 +130,11 @@ WITH m AS (
 )
 SELECT doc_id, CAST(n_bytes AS INT) AS n_bytes, d AS digest,
        width, height, n_frames,
-       CASE WHEN n_frames <= 1 THEN [0, 0, 0, 0]
-            ELSE list_transform(range(0, {N_SAMPLED}),
-                                j -> CAST(j * (n_frames - 1) // {N_SAMPLED - 1} AS INT))
+       CASE WHEN n_frames <= 1 THEN '0,0,0,0'
+            ELSE array_to_string(
+                   list_transform(range(0, {N_SAMPLED}),
+                                  j -> CAST(j * (n_frames - 1) // {N_SAMPLED - 1} AS INT)),
+                   ',')
        END AS sampled_frames
 FROM dims
 ORDER BY doc_id
