@@ -46,6 +46,13 @@ SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 def _bench_conf(parallelism: int | None = None) -> dict[str, str]:
     conf = {"spark.local.dir": os.path.join(SCRATCH, "spark-local")} if SCRATCH else {}
+    # experiment knobs (env-gated): shuffle/parquet codecs trade CPU for
+    # bytes moved — on a DRAM-bandwidth-bound box bytes are the scarce
+    # resource at high parallelism, CPU is not
+    if os.environ.get("SPARK_GRAFT_IO_CODEC"):
+        conf["spark.io.compression.codec"] = os.environ["SPARK_GRAFT_IO_CODEC"]
+    if os.environ.get("SPARK_GRAFT_PARQUET_CODEC"):
+        conf["spark.sql.parquet.compression.codec"] = os.environ["SPARK_GRAFT_PARQUET_CODEC"]
     if parallelism is not None:
         # Emulate an N-core executor honestly: a real executor JVM gets
         # GC threads sized to ITS cores, not the host's 32. Only
@@ -143,6 +150,7 @@ def run_cdc(
             "batches": res["batches_applied"],
             "rows_applied": res["rows_applied"],
             "final_rows": final_rows,
+            "phase_totals": res.get("phase_totals", {}),
         }
     finally:
         if not keep_tmp:

@@ -33,6 +33,7 @@ Scale shape:
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,6 +79,15 @@ def apply_batch(
     what actually lands on the driver and every executor is a hash
     relation, not a row count.
     """
+    timings: dict[str, float] = {}
+    t_last = time.perf_counter()
+
+    def mark(phase: str) -> None:
+        nonlocal t_last
+        now = time.perf_counter()
+        timings[phase] = round(now - t_last, 3)
+        t_last = now
+
     if table.is_committed(batch_id):
         # A skip is only safe when this is a true redelivery — same
         # batch identity, same LSN range. A committed id with a
@@ -123,6 +133,7 @@ def apply_batch(
             )
             .collect()
         )
+    mark("stats")
     changed = sorted(int(r["_bucket"]) for r in stats)
     if not changed:
         table.commit({}, set(), (batch_id, {"lsn_lo": lsn_lo, "lsn_hi": lsn_hi, "rows_applied": 0}))
@@ -219,7 +230,9 @@ def apply_batch(
     # (n_buckets is a multiple of shuffle partitions) -> one file per
     # bucket dir for free. An unaligned config degrades to more files
     # per bucket, never to incorrect data.
+    mark("plan_build")
     merged.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+    mark("merge_write")
 
     # map written bucket dirs; a changed bucket with all rows deleted
     # produces no dir and is dropped from metadata
@@ -244,7 +257,9 @@ def apply_batch(
         }
         for r in stats
     ]
+    mark("footer_stats")
     write_lineage(spark, table.root, batch_id, lineage_rows)
+    mark("lineage")
 
     table.commit(
         new_dirs,
@@ -255,4 +270,10 @@ def apply_batch(
             b: count_dir_rows(os.path.join(table.root, rel)) for b, rel in new_dirs.items()
         },
     )
-    return {"batch_id": batch_id, "rows_applied": rows_applied, "buckets": changed}
+    mark("commit")
+    return {
+        "batch_id": batch_id,
+        "rows_applied": rows_applied,
+        "buckets": changed,
+        "timings": timings,
+    }

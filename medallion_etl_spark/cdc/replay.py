@@ -58,6 +58,9 @@ def replay(
     # plan), so the apply loop runs exactly one job per chunk instead
     # of stats-job + merge-job. Map-side partial agg keeps the shuffle
     # at n_chunks x n_buckets rows.
+    import time as _time
+
+    t_stats0 = _time.perf_counter()
     stats_by_chunk: dict[int, list] = {}
     if todo:
         has_sv = "schema_version" in events.columns
@@ -86,9 +89,11 @@ def replay(
         )
         for r in all_stats:
             stats_by_chunk.setdefault(int(r["_chunk"]), []).append(r)
+    upfront_stats_sec = round(_time.perf_counter() - t_stats0, 3)
 
     batches = 0
     rows = 0
+    phase_totals: dict[str, float] = {}
     for batch_id, lo, hi in todo:
         chunk = events.filter(F.col("lsn").between(lo, hi))
         res = apply_batch(
@@ -106,4 +111,12 @@ def replay(
         if not res.get("skipped"):
             batches += 1
             rows += res.get("rows_applied", 0)
-    return {"batches_applied": batches, "rows_applied": rows, "planned_chunks": len(chunks)}
+            for phase, sec in res.get("timings", {}).items():
+                phase_totals[phase] = round(phase_totals.get(phase, 0.0) + sec, 3)
+    phase_totals["upfront_stats"] = upfront_stats_sec
+    return {
+        "batches_applied": batches,
+        "rows_applied": rows,
+        "planned_chunks": len(chunks),
+        "phase_totals": phase_totals,
+    }

@@ -12,6 +12,9 @@ scan -> shuffle -> window/agg -> merge -> atomic commit -> read back.
 
 from __future__ import annotations
 
+import atexit
+import hashlib
+import os
 import shutil
 import tempfile
 
@@ -45,31 +48,35 @@ def cdc_replay_latest_state(spark: SparkSession, sf: str) -> DataFrame:
     n = events.agg(F.max("event_id")).collect()[0][0] or 0
     chunk = max(int(n) // 4, 1)
 
-    tmp = tempfile.mkdtemp(prefix="cdc_flagship_")
+    # Session-lifetime table dir (deterministic per input, fresh per
+    # call, atexit-cleaned): the returned DataFrame stays a LAZY read
+    # over the replayed table — no toPandas round-trip, so the flagship
+    # never materializes the full final state on the driver (at real
+    # scale that would be a driver-memory bottleneck).
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        f"cdc_flagship_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     root = f"{tmp}/t"
-    try:
-        table = LakeTable.create(root, n_buckets=8, schema_version=2)
-        # merge_path="agg" so the driver's correctness gate exercises
-        # the explicitly-salted shuffle dedup (auto would pick the
-        # broadcast path on a stream this small)
-        replay(
-            spark, stream, table, chunk_size=chunk,
-            dedup_strategy="salted", merge_path="agg",
-        )
-        final = LakeTable.load(root).read(spark)
-        out = final.select(
-            "doc_id",
-            F.element_at("tokens", 1).alias("tok_value"),
-            F.element_at("tokens", 2).alias("tok_user"),
-            F.element_at("tokens", 3).alias("last_lsn"),
-            "n_tok",
-            F.col("source").alias("last_type"),
-        ).orderBy("doc_id")
-        # materialize before the temp table dir is deleted
-        pdf = out.toPandas()
-        return spark.createDataFrame(pdf, schema=out.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    table = LakeTable.create(root, n_buckets=8, schema_version=2)
+    # merge_path="agg" so the driver's correctness gate exercises
+    # the explicitly-salted shuffle dedup (auto would pick the
+    # broadcast path on a stream this small)
+    replay(
+        spark, stream, table, chunk_size=chunk,
+        dedup_strategy="salted", merge_path="agg",
+    )
+    final = LakeTable.load(root).read(spark)
+    return final.select(
+        "doc_id",
+        F.element_at("tokens", 1).alias("tok_value"),
+        F.element_at("tokens", 2).alias("tok_user"),
+        F.element_at("tokens", 3).alias("last_lsn"),
+        "n_tok",
+        F.col("source").alias("last_type"),
+    ).orderBy("doc_id")
 
 
 CDC_REPLAY_LATEST_STATE_SQL = """

@@ -249,11 +249,50 @@ def _label_centroid_dist(pdf):
     )
 
 
-def embedding_centroid_distance(spark: SparkSession, sf: str) -> DataFrame:
+def embedding_centroid_distance_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-pandas variant (the round-1 implementation), kept as the
+    small-N baseline. CAUTION: ``applyInPandas`` materializes an entire
+    label group in ONE pandas frame — a 100 TB hot label OOMs the
+    worker. The default ``embedding_centroid_distance`` below has no
+    such bound; prefer it everywhere."""
     emb = T(spark, sf, "embeddings")
     return (
         emb.groupBy("label")
         .applyInPandas(_label_centroid_dist, CENTROID_DIST_SCHEMA)
+        .orderBy("label", "vec_id")
+    )
+
+
+def embedding_centroid_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Distance of every vector to its label centroid, with NO
+    per-group materialization anywhere (the IVF building block at
+    scale):
+
+    1. centroid per label via per-dimension partial AVG — a plain hash
+       aggregate, map-side combined, one output row per label no matter
+       how hot the label is;
+    2. broadcast the (tiny) centroid table back and compute each row's
+       distance with JVM-side array expressions (``zip_with`` +
+       left-to-right ``aggregate`` fold).
+
+    A pathologically hot label costs exactly one aggregation cell, not
+    one worker's memory (pinned by
+    tests/test_similarity_centroid.py::test_hot_label_cannot_oom).
+    float32 output quantization absorbs the ~1-ulp float64 differences
+    between Spark's partial sums, numpy, and the oracle's SUM order.
+    """
+    emb = T(spark, sf, "embeddings")
+    cent = emb.groupBy("label").agg(
+        F.array(*[F.avg(F.col("embedding")[i].cast("double")) for i in range(DIM)]).alias(
+            "centroid"
+        )
+    )
+    v = _dvec("embedding")
+    diff2 = F.zip_with(v, F.col("centroid"), lambda e, c: (e - c) * (e - c))
+    dist = F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .select("label", "vec_id", dist.cast("float").alias("dist_to_centroid"))
         .orderBy("label", "vec_id")
     )
 

@@ -42,6 +42,47 @@ def read_json_records(
     return spark.read.schema(schema).json(path)
 
 
+def validate_sheet_rows(
+    raw: DataFrame, schema: T.StructType, *, id_col: str | None = None
+) -> DataFrame:
+    """The reference's Excel row-validation contract as a pure
+    DataFrame transform (hectolitros_loader.py:21-53), factored out of
+    the Excel reader so the semantics are testable without an Excel
+    engine:
+
+    - every column is try_cast to the declared schema (bad values ->
+      NULL — explicit, since ANSI-mode plain cast throws);
+    - rows whose ``id_col`` fails the cast are SKIPPED (the reference
+      skips non-numeric id cells — header junk, subtotal rows);
+    - duplicate ids keep the LAST sheet occurrence (the reference
+      builds a dict keyed by id, so later rows overwrite earlier ones).
+
+    ``raw`` must carry a ``_row_order`` long column (sheet row number)
+    when ``id_col`` is set; the Excel reader below adds it.
+    """
+    casted = raw.select(
+        *[
+            F.col(f.name).try_cast(f.dataType).alias(f.name)
+            for f in schema.fields
+            if f.name in raw.columns
+        ],
+        *([F.col("_row_order")] if "_row_order" in raw.columns else []),
+    )
+    if id_col is None:
+        return casted
+    valid = casted.filter(F.col(id_col).isNotNull())
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.col("_row_order").desc())
+    )
+    return (
+        valid.withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_row_order")
+    )
+
+
 def read_excel_rows(
     spark: SparkSession,
     path: str,
@@ -49,27 +90,25 @@ def read_excel_rows(
     *,
     sheet: int | str = 0,
     skip_rows: int = 0,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Reference S5: Excel sheet source with row validation
-    (hectolitros_loader.py:21-53 — openpyxl iter_rows, skip junk rows,
-    last-write-wins on duplicate ids). Excel is driver-side by nature
-    (one small file), so this goes pandas -> createDataFrame; rows
-    failing the declared schema's casts become NULLs the caller
-    filters, matching the reference's skip-non-numeric behavior.
+    (hectolitros_loader.py:21-53). Excel is driver-side by nature (one
+    small file), so this goes pandas -> createDataFrame, then applies
+    ``validate_sheet_rows`` (skip non-numeric ids, last-wins dedup).
 
     Gated: raises a clear error if no Excel engine is installed (this
-    container ships none)."""
-    try:
-        import pandas as pd
+    container ships none); the validation semantics are covered by
+    tests/test_readers.py via a monkeypatched pandas reader."""
+    import pandas as pd
 
+    try:
         pdf = pd.read_excel(path, sheet_name=sheet, skiprows=skip_rows, header=0)
     except ImportError as e:  # openpyxl/xlrd absent
         raise NotImplementedError(
             "Excel source needs an engine (openpyxl); not available in this environment"
         ) from e
     pdf.columns = [f.name for f in schema.fields][: len(pdf.columns)]
+    pdf["_row_order"] = range(len(pdf))
     df = spark.createDataFrame(pdf.astype(object).where(pd.notna(pdf), None))
-    casted = df.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields if f.name in df.columns]
-    )
-    return casted
+    return validate_sheet_rows(df, schema, id_col=id_col)

@@ -59,3 +59,57 @@ def test_read_json_records_nested_arrays(spark, tmp_path):
         (1, 1, 7),
         (1, 4, 9),
     ]
+
+
+def test_excel_validation_semantics_with_fake_reader(spark, monkeypatch):
+    """Reference hectolitros_loader.py:21-53 contract, covered without
+    an Excel engine by monkeypatching the pandas reader: non-numeric id
+    rows are skipped, duplicate ids keep the LAST sheet occurrence."""
+    import pandas as pd
+
+    from medallion_etl_spark.sources import readers
+
+    sheet = pd.DataFrame(
+        {
+            "id_articulo": [1, "junk", 2, None, 1, 3],
+            "factor": [0.5, 9.9, 0.25, 1.0, 0.75, "bad"],
+        }
+    )
+    monkeypatch.setattr(pd, "read_excel", lambda *a, **k: sheet.copy())
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id_articulo", T.IntegerType()),
+            T.StructField("factor", T.DoubleType()),
+        ]
+    )
+    got = readers.read_excel_rows(
+        spark, "/nonexistent.xlsx", schema, id_col="id_articulo"
+    )
+    rows = {r["id_articulo"]: r["factor"] for r in got.collect()}
+    # 'junk' and None ids skipped; id 1 keeps its LAST value (0.75);
+    # id 3's non-numeric factor casts to NULL but the row survives
+    assert rows == {1: 0.75, 2: 0.25, 3: None}
+    assert dict(got.dtypes) == {"id_articulo": "int", "factor": "double"}
+
+
+def test_excel_reader_gated_without_engine(spark, monkeypatch):
+    """Without openpyxl the reader must raise the documented
+    NotImplementedError, not a bare ImportError."""
+    import pandas as pd
+
+    import pytest as _pytest
+
+    from medallion_etl_spark.sources import readers
+
+    def _no_engine(*a, **k):
+        raise ImportError("Missing optional dependency 'openpyxl'")
+
+    monkeypatch.setattr(pd, "read_excel", _no_engine)
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("id", T.IntegerType())])
+    with _pytest.raises(NotImplementedError, match="Excel source needs an engine"):
+        readers.read_excel_rows(spark, "/nonexistent.xlsx", schema)
