@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # zstd shuffle/broadcast codec: trades CPU (which scales with
+        # cores) for bytes moved (which hit the DRAM-bandwidth ceiling
+        # first on shuffle-heavy plans). Measured on the CDC replay:
+        # +80-90% throughput at local[8] and ~8x lower run-to-run
+        # variance vs lz4 (BENCH/BASELINE.md).
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
