@@ -177,7 +177,15 @@ def _cdc_only(parallelism: int, n_events: int, n_chunks: int, merge_path: str) -
     spark.stop()
 
 
-def run_scaling(n_events: int, n_lo: int, n_hi: int, *, reps: int = 2, merge_path: str = "agg") -> dict:
+def run_scaling(
+    n_events: int,
+    n_lo: int,
+    n_hi: int,
+    *,
+    reps: int = 2,
+    merge_path: str = "agg",
+    out_path: str = "BENCH/scaling.json",
+) -> dict:
     """Same job at local[n_lo] and local[n_hi] (the sandbox stand-in
     for N vs 4N executors), fresh JVM each. Levels are interleaved and
     the best of ``reps`` runs per level is kept, because the sandbox
@@ -205,8 +213,8 @@ def run_scaling(n_events: int, n_lo: int, n_hi: int, *, reps: int = 2, merge_pat
         "speedup": round(tp_hi / tp_lo, 3),
         "scaling_efficiency": round(eff, 3),
     }
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/scaling.json", "w") as f:
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     return out
 
@@ -228,6 +236,8 @@ def main() -> None:
     # measurement stops being about data parallelism.
     ap.add_argument("--scale-lo", type=int, default=2)
     ap.add_argument("--scale-hi", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--scaling-out", default="BENCH/scaling.json")
     args = ap.parse_args()
 
     if args.cdc_only:
@@ -235,7 +245,9 @@ def main() -> None:
         return
     if args.scaling:
         print(json.dumps(run_scaling(
-            args.events, args.scale_lo, args.scale_hi, merge_path=args.merge_path)))
+            args.events, args.scale_lo, args.scale_hi,
+            reps=args.reps, merge_path=args.merge_path,
+            out_path=args.scaling_out)))
         return
 
     from medallion_etl_spark.session import get_spark

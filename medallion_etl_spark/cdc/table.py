@@ -138,6 +138,29 @@ class LakeTable:
     def exists(cls, root: str) -> bool:
         return os.path.exists(os.path.join(root, "metadata", "CURRENT"))
 
+    @classmethod
+    def load_version(cls, root: str, version: int) -> "LakeTable":
+        """Time travel: open the snapshot as of ``version``.
+
+        Every commit retains its ``metadata/version-N.json`` and data
+        files are immutable (copy-on-write), so an old snapshot is just
+        the old metadata document — the Iceberg snapshot-id read
+        analog. The returned table is read-only in spirit: committing
+        from it would fork history, so ``commit`` refuses when the
+        on-disk CURRENT is ahead of this snapshot.
+        """
+        path = os.path.join(root, "metadata", f"version-{version}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"no snapshot version {version} at {root}")
+        with open(path) as f:
+            meta = json.load(f)
+        if meta.get("format_version") != FORMAT_VERSION:
+            raise ValueError(
+                f"snapshot {version} at {root} has format_version "
+                f"{meta.get('format_version')}, this engine reads {FORMAT_VERSION}"
+            )
+        return cls(root, meta)
+
     # ---- properties ------------------------------------------------------
 
     @property
@@ -161,6 +184,12 @@ class LakeTable:
 
     def is_committed(self, batch_id: int) -> bool:
         return str(batch_id) in self.meta["committed_batches"]
+
+    def max_committed_lsn(self) -> int:
+        """Highest LSN any committed batch has applied (-1 for an empty
+        table) — the snapshot's change-feed watermark."""
+        batches = self.meta["committed_batches"].values()
+        return max((int(r["lsn_hi"]) for r in batches), default=-1)
 
     def committed_batches(self) -> dict[int, dict]:
         return {int(k): v for k, v in self.meta["committed_batches"].items()}
@@ -204,6 +233,51 @@ class LakeTable:
         if raw:
             return out
         return out.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(*INTERNAL_COLS)
+
+    def read_changes(self, spark: SparkSession, since_version: int) -> DataFrame:
+        """Incremental change feed: net row-level changes between the
+        ``since_version`` snapshot and this one (the Delta CDF /
+        Iceberg incremental-read analog, built from what the format
+        already stores — no extra change log is written).
+
+        Returns payload columns plus ``_lsn`` and ``_change_type``
+        ('upsert' | 'delete'). Because the table is LWW-merged, the
+        feed is the NET change per key — intermediate overwritten
+        versions inside the span are not replayed, which is exactly
+        what a downstream incremental materialization wants.
+
+        Scale shape: only buckets whose data pointer CHANGED between
+        the two snapshots are scanned (metadata diff — untouched
+        buckets physically cannot contain newer rows), then the
+        ``_lsn > watermark`` filter prunes row groups via parquet
+        min/max stats. Cost is O(|changed data|), not O(|table|).
+
+        Correctness caveat (documented contract): ``compact()`` purges
+        tombstones at or below its ``watermark_lsn``; a change feed
+        whose ``since_version`` predates a later compaction may have
+        lost delete records it never saw. Consumers must read their
+        feed before compaction passes their watermark — same contract
+        as Delta CDF's retention window.
+        """
+        old = LakeTable.load_version(self.root, since_version)
+        watermark = old.max_committed_lsn()
+        old_dirs = {b: e["dir"] for b, e in old.meta["buckets"].items()}
+        changed = [
+            int(b)
+            for b, e in self.meta["buckets"].items()
+            if old_dirs.get(b) != e["dir"]
+        ]
+        raw = self.read(spark, buckets=changed, raw=True)
+        return (
+            raw.filter(F.col("_lsn") > F.lit(watermark))
+            .withColumn(
+                "_change_type",
+                F.when(
+                    F.coalesce(F.col("_deleted"), F.lit(False)), F.lit("delete")
+                ).otherwise(F.lit("upsert")),
+            )
+            .drop("_deleted")
+        )
 
     # ---- maintenance -----------------------------------------------------
 
@@ -277,6 +351,16 @@ class LakeTable:
     ) -> None:
         """Atomically publish: rewritten bucket pointers + manifest entry
         (+ optional schema evolution) in one metadata swap."""
+        current = os.path.join(self.root, "metadata", "CURRENT")
+        if os.path.exists(current):
+            with open(current) as f:
+                head = int(f.read().strip().removeprefix("version-").removesuffix(".json"))
+            if head > self.version:
+                raise RuntimeError(
+                    f"table HEAD is version {head} but this handle is at "
+                    f"{self.version} (a time-travel snapshot or a stale "
+                    "loader): committing would fork/rewind history"
+                )
         meta = json.loads(json.dumps(self.meta))  # deep copy
         meta["version"] = self.version + 1
         if schema_version is not None:

@@ -79,6 +79,67 @@ def cdc_replay_latest_state(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def cdc_change_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental change feed through the engine: replay the events
+    stream in two LSN chunks, then ask the table for the NET changes
+    since the snapshot after chunk 0 (``LakeTable.read_changes`` — the
+    Delta-CDF analog; see cdc/table.py). The oracle recomputes the same
+    net change with one window over the raw events: per key with any
+    event past the chunk-0 watermark, its latest event — as an upsert
+    (payload) or a delete (NULL payload)."""
+    events = T(spark, sf, "events")
+    stream = _as_change_stream(events)
+    n = events.agg(F.max("event_id")).collect()[0][0] or 0
+    chunk = max(int(n) // 2, 1)
+
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        f"cdc_feed_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    table = LakeTable.create(f"{tmp}/t", n_buckets=8, schema_version=2)
+    replay(spark, stream, table, chunk_size=chunk, merge_path="agg")
+    feed = LakeTable.load(f"{tmp}/t").read_changes(spark, since_version=1)
+    return feed.select(
+        "doc_id",
+        F.col("_lsn").alias("lsn"),
+        F.col("_change_type").alias("change_type"),
+        F.element_at("tokens", 1).alias("tok_value"),
+        F.element_at("tokens", 2).alias("tok_user"),
+        "n_tok",
+        F.col("source").alias("last_type"),
+    ).orderBy("doc_id")
+
+
+# chunk-0 watermark = lsn_min + chunk_size - 1 (plan_chunks contract),
+# chunk_size = max(event_id) // 2 — mirrored arithmetic, so both
+# engines cut the stream at the identical LSN
+CDC_CHANGE_FEED_SQL = """
+WITH wm AS (
+  SELECT min(event_id) + max(event_id) // 2 - 1 AS w FROM events
+), latest AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+  WHERE event_id > (SELECT w FROM wm)
+)
+SELECT concat('u', user_id) AS doc_id,
+       event_id AS lsn,
+       CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS change_type,
+       CASE WHEN event_type = 'error' THEN NULL
+            ELSE CAST(FLOOR(value * 100) AS INT) END AS tok_value,
+       CASE WHEN event_type = 'error' THEN NULL
+            ELSE CAST(user_id AS INT) END AS tok_user,
+       CASE WHEN event_type = 'error' THEN NULL
+            ELSE CAST(3 AS BIGINT) END AS n_tok,
+       CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS last_type
+FROM latest
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 CDC_REPLAY_LATEST_STATE_SQL = """
 SELECT concat('u', user_id) AS doc_id,
        CAST(FLOOR(value * 100) AS INT) AS tok_value,
@@ -95,4 +156,5 @@ ORDER BY doc_id
 
 QUERIES = {
     "cdc_replay_latest_state": (cdc_replay_latest_state, CDC_REPLAY_LATEST_STATE_SQL),
+    "cdc_change_feed": (cdc_change_feed, CDC_CHANGE_FEED_SQL),
 }
