@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Manual per-entity CLI: the reference's `orchestrator.py <layer>
+<entity> [args]` dispatch tree (reference orchestrator.py:555-783)
+re-expressed over the engine (SURVEY.md §3 EP2), plus its
+`partial-refresh-sales [YYYY-MM]` range-refresh path (EP3,
+orchestrator.py:480-509) as an LSN-range re-apply.
+
+    python scripts/orchestrator.py bronze events
+    python scripts/orchestrator.py silver docs
+    python scripts/orchestrator.py gold htls | gold cobertura
+    python scripts/orchestrator.py gold query <driver-query-name>
+    python scripts/orchestrator.py partial-refresh <lsn_lo> <lsn_hi>
+    python scripts/orchestrator.py compact <watermark_lsn>
+    python scripts/orchestrator.py changes <since_version>
+    python scripts/orchestrator.py snapshot <version>
+
+Common flags: --sf-dir --out --parallelism. Each command prints one
+JSON report line (the analog of the reference's per-command logging).
+
+EP3 semantics preserved and strengthened: `partial-refresh` re-applies
+any LSN range as one idempotent batch — the batch id is derived from
+the range, so re-running the same range is a recorded no-op, and
+because the merge is max-LSN-wins with tombstones, refreshing ranges
+in ANY order converges to the source-of-truth state (the reference
+guarantees this only for in-order month ranges).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Refresh batches get their own id namespace (below the streaming base
+# of 2^40, above any replay chunk index): a range maps to a stable id,
+# so the same refresh re-run is deduped by the manifest while distinct
+# ranges never collide with replay/stream batch ids.
+REFRESH_BASE = 1 << 39
+
+
+def refresh_batch_id(lsn_lo: int, lsn_hi: int) -> int:
+    digest = hashlib.sha256(f"{lsn_lo}:{lsn_hi}".encode()).digest()
+    return REFRESH_BASE + (int.from_bytes(digest[:5], "big") >> 2)
+
+
+def _table_root(out_dir: str) -> str:
+    return os.path.join(out_dir, "docs_table")
+
+
+def _open_or_create(spark, out_dir: str, n_buckets: int = 8):
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    root = _table_root(out_dir)
+    if LakeTable.exists(root):
+        return LakeTable.load(root)
+    return LakeTable.create(root, n_buckets=n_buckets, schema_version=2)
+
+
+def _stream(spark, sf_dir: str):
+    from medallion_etl_spark.operators.cdc_query import _as_change_stream
+    from medallion_etl_spark.sources.readers import load_table
+
+    return _as_change_stream(load_table(spark, sf_dir, "events"))
+
+
+def cmd_bronze(spark, args) -> dict:
+    from pyspark.sql import functions as F
+
+    from medallion_etl_spark.cdc.replay import replay
+
+    stream = _stream(spark, args.sf_dir)
+    n = stream.agg(F.max("lsn")).collect()[0][0] or 0
+    table = _open_or_create(spark, args.out)
+    res = replay(spark, stream, table, chunk_size=max(int(n) // 4, 1))
+    return {"rows_applied": res["rows_applied"], "batches": res["batches_applied"]}
+
+
+def cmd_silver(spark, args) -> dict:
+    from medallion_etl_spark.operators.textops import doc_quality_scores, doc_token_stats
+
+    out = {}
+    for name, fn in [("doc_quality", doc_quality_scores), ("doc_tokens", doc_token_stats)]:
+        path = os.path.join(args.out, f"silver_{name}")
+        fn(spark, args.sf_dir).write.mode("overwrite").parquet(path)
+        out[name] = spark.read.parquet(path).count()
+    return out
+
+
+def cmd_gold(spark, args) -> dict:
+    from medallion_etl_spark.operators import collect_queries
+    from medallion_etl_spark.operators.coverage import (
+        coverage_outputs,
+        hectolitros_measure,
+    )
+
+    if args.entity == "htls":
+        path = os.path.join(args.out, "gold_htls")
+        hectolitros_measure(spark, args.sf_dir).write.mode("overwrite").parquet(path)
+        return {"rows": spark.read.parquet(path).count()}
+    if args.entity == "cobertura":
+        counts = {}
+        for name, df in coverage_outputs(spark, args.sf_dir).items():
+            path = os.path.join(args.out, name)
+            df.write.mode("overwrite").parquet(path)
+            counts[name] = spark.read.parquet(path).count()
+        return counts
+    if args.entity == "query":
+        registry = collect_queries()
+        if args.name not in registry:
+            raise SystemExit(
+                f"unknown query {args.name!r}; known: {sorted(registry)}"
+            )
+        fn, _sql = registry[args.name]
+        path = os.path.join(args.out, f"gold_{args.name}")
+        fn(spark, args.sf_dir).write.mode("overwrite").parquet(path)
+        return {"rows": spark.read.parquet(path).count()}
+    raise SystemExit(f"unknown gold entity {args.entity!r}")
+
+
+def cmd_partial_refresh(spark, args) -> dict:
+    from pyspark.sql import functions as F
+
+    from medallion_etl_spark.cdc.apply import apply_batch
+
+    lo, hi = int(args.lsn_lo), int(args.lsn_hi)
+    if lo > hi:
+        raise SystemExit(f"empty range [{lo}, {hi}]")
+    table = _open_or_create(spark, args.out)
+    chunk = _stream(spark, args.sf_dir).filter(F.col("lsn").between(lo, hi))
+    res = apply_batch(
+        spark, table, chunk, batch_id=refresh_batch_id(lo, hi), lsn_lo=lo, lsn_hi=hi
+    )
+    return {
+        "lsn_lo": lo,
+        "lsn_hi": hi,
+        "skipped": bool(res.get("skipped")),
+        "rows_applied": res.get("rows_applied", 0),
+    }
+
+
+def cmd_compact(spark, args) -> dict:
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    table = LakeTable.load(_table_root(args.out))
+    return table.compact(spark, int(args.watermark_lsn))
+
+
+def cmd_changes(spark, args) -> dict:
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    table = LakeTable.load(_table_root(args.out))
+    feed = table.read_changes(spark, int(args.since_version))
+    by_type = {r["_change_type"]: r["n"] for r in
+               feed.groupBy("_change_type").count().withColumnRenamed("count", "n").collect()}
+    return {"since_version": int(args.since_version), "changes": by_type}
+
+
+def cmd_snapshot(spark, args) -> dict:
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    snap = LakeTable.load_version(_table_root(args.out), int(args.version))
+    return {
+        "version": snap.version,
+        "rows": snap.read(spark).count(),
+        "max_committed_lsn": snap.max_committed_lsn(),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="/tmp/orchestrator_out")
+    ap.add_argument("--parallelism", type=int, default=8)
+    sub = ap.add_subparsers(dest="layer", required=True)
+
+    p = sub.add_parser("bronze")
+    p.add_argument("entity", choices=["events"])
+    p = sub.add_parser("silver")
+    p.add_argument("entity", choices=["docs"])
+    p = sub.add_parser("gold")
+    p.add_argument("entity", choices=["htls", "cobertura", "query"])
+    p.add_argument("name", nargs="?", help="driver query name (gold query <name>)")
+    p = sub.add_parser("partial-refresh")
+    p.add_argument("lsn_lo")
+    p.add_argument("lsn_hi")
+    p = sub.add_parser("compact")
+    p.add_argument("watermark_lsn")
+    p = sub.add_parser("changes")
+    p.add_argument("since_version")
+    p = sub.add_parser("snapshot")
+    p.add_argument("version")
+    args = ap.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    from medallion_etl_spark.session import get_spark
+
+    spark = get_spark("orchestrator", parallelism=args.parallelism)
+    dispatch = {
+        "bronze": cmd_bronze,
+        "silver": cmd_silver,
+        "gold": cmd_gold,
+        "partial-refresh": cmd_partial_refresh,
+        "compact": cmd_compact,
+        "changes": cmd_changes,
+        "snapshot": cmd_snapshot,
+    }
+    result = dispatch[args.layer](spark, args)
+    print(json.dumps({"command": args.layer, "ok": True, "result": result}, default=str))
+
+
+if __name__ == "__main__":
+    main()

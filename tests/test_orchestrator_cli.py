@@ -1,0 +1,70 @@
+"""EP2/EP3 orchestrator CLI: layer dispatch + the partial-refresh
+convergence invariant (reference orchestrator.py:480-509 — replaying
+any range is idempotent and converges; SURVEY.md §3 EP3). The CLI
+functions are exercised directly with the shared session."""
+
+from __future__ import annotations
+
+from argparse import Namespace
+
+import pytest
+
+from scripts.orchestrator import (
+    cmd_bronze,
+    cmd_changes,
+    cmd_gold,
+    cmd_partial_refresh,
+    cmd_snapshot,
+    refresh_batch_id,
+)
+
+
+def _args(tmp_path, sf, **kw):
+    base = {"sf_dir": sf, "out": str(tmp_path), "parallelism": 8}
+    base.update(kw)
+    return Namespace(**base)
+
+
+def test_bronze_then_snapshot_and_changes(spark, tmp_path, sf_tiny):
+    res = cmd_bronze(spark, _args(tmp_path, sf_tiny))
+    assert res["rows_applied"] == 1000 and res["batches"] >= 2
+    snap = cmd_snapshot(spark, _args(tmp_path, sf_tiny, version=1))
+    assert snap["version"] == 1 and snap["rows"] > 0
+    feed = cmd_changes(spark, _args(tmp_path, sf_tiny, since_version=1))
+    assert sum(feed["changes"].values()) > 0
+
+
+def test_partial_refresh_idempotent_and_any_order_converges(spark, tmp_path, sf_tiny):
+    full = tmp_path / "full"
+    cmd_bronze(spark, _args(full, sf_tiny))
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    want = sorted(
+        tuple(r) for r in LakeTable.load(str(full / "docs_table")).read(spark).collect()
+    )
+
+    # fresh table built ONLY from out-of-order range refreshes
+    part = tmp_path / "part"
+    ranges = [(500, 749), (0, 249), (750, 999), (250, 499)]
+    for lo, hi in ranges:
+        res = cmd_partial_refresh(spark, _args(part, sf_tiny, lsn_lo=lo, lsn_hi=hi))
+        assert not res["skipped"]
+    # re-running a range is a recorded no-op, not a double apply
+    res = cmd_partial_refresh(spark, _args(part, sf_tiny, lsn_lo=500, lsn_hi=749))
+    assert res["skipped"]
+    got = sorted(
+        tuple(r) for r in LakeTable.load(str(part / "docs_table")).read(spark).collect()
+    )
+    assert got == want
+
+
+def test_refresh_batch_ids_stable_and_namespaced():
+    a = refresh_batch_id(1, 250)
+    assert a == refresh_batch_id(1, 250)
+    assert a != refresh_batch_id(251, 500)
+    assert (1 << 39) <= a < (1 << 40)  # above replay chunks, below stream epochs
+
+
+def test_gold_query_dispatch_unknown_name_exits(spark, tmp_path, sf_tiny):
+    with pytest.raises(SystemExit, match="unknown query"):
+        cmd_gold(spark, _args(tmp_path, sf_tiny, entity="query", name="nope"))
