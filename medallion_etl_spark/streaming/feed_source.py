@@ -1,0 +1,164 @@
+"""LakeTable change feed as a native Structured Streaming source.
+
+PySpark 4's Python Data Source API lets the lake table act like
+Delta's `readStream` + change-data-feed: offsets are TABLE VERSIONS,
+each micro-batch is the net row-level change between two snapshots
+(`LakeTable.read_changes` semantics), and the scan is pruned to
+buckets whose data pointer moved between the two versions — per batch
+the work is O(changed data), never O(table).
+
+    from medallion_etl_spark.streaming.feed_source import read_feed_stream
+    feed = read_feed_stream(spark, table_root, start_version=0)
+    q = feed.writeStream.format(...).start()
+
+Execution shape (why this scales): `latestOffset`/`partitions` are
+driver-side metadata reads (two small JSON documents); `read` runs on
+EXECUTORS, one partition per changed bucket, reading that bucket's
+parquet directly with pyarrow and yielding Arrow RecordBatches —
+no driver materialization, and the `_lsn > watermark` filter uses
+parquet row-group statistics via pyarrow's predicate pushdown.
+
+Contracts (same as `read_changes`, documented there): the feed is the
+NET change per key between offsets; tombstones older than a later
+`compact()` watermark are not replayable; the output schema is fixed
+at query start (a mid-stream schema evolution is aligned to the
+query-start schema — widen-reads cast, added columns are dropped
+until the query restarts).
+
+Reference analog: the reference has no streaming surface at all
+(SURVEY.md §2.9); this is the north_rule's streaming-consumption leg
+built on the table format's own metadata.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+from ..cdc.table import LakeTable, stored_schema
+
+FORMAT_NAME = "lake_feed"
+
+FEED_EXTRA_FIELDS = [
+    T.StructField("_lsn", T.LongType(), True),
+    T.StructField("_change_type", T.StringType(), True),
+]
+
+
+def feed_schema(schema_version: int) -> T.StructType:
+    from ..schemas import DOCS_SCHEMAS
+
+    return T.StructType(list(DOCS_SCHEMAS[schema_version].fields) + FEED_EXTRA_FIELDS)
+
+
+@dataclasses.dataclass
+class FeedPartition(InputPartition):
+    bucket_dir: str  # absolute path of the bucket's data dir
+    dir_schema_version: int  # schema its files were written with
+    target_schema_version: int  # schema the query surfaces
+    watermark_lsn: int  # emit only rows with _lsn strictly above
+
+
+class LakeFeedStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("lake_feed requires .option('path', <table root>)")
+        self.start_version = int(options.get("startversion", options.get("startVersion", 0)))
+        # schema is pinned at query start — see module docstring
+        self.target_sv = LakeTable.load(self.root).schema_version
+
+    # -- offsets (driver-side, metadata only) ---------------------------
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        return {"version": LakeTable.load(self.root).version}
+
+    def _meta(self, version: int) -> dict:
+        return LakeTable.load_version(self.root, version).meta
+
+    def partitions(self, start: dict, end: dict) -> list[FeedPartition]:
+        start_v, end_v = int(start["version"]), int(end["version"])
+        if end_v <= start_v:
+            return []
+        old = LakeTable.load_version(self.root, start_v)
+        new = LakeTable.load_version(self.root, end_v)
+        watermark = old.max_committed_lsn()
+        old_dirs = {b: e["dir"] for b, e in old.meta["buckets"].items()}
+        return [
+            FeedPartition(
+                bucket_dir=os.path.join(self.root, e["dir"]),
+                dir_schema_version=int(e["schema_version"]),
+                target_schema_version=self.target_sv,
+                watermark_lsn=watermark,
+            )
+            for b, e in new.meta["buckets"].items()
+            if old_dirs.get(b) != e["dir"]
+        ]
+
+    # -- data (executor-side, Arrow batches) ----------------------------
+
+    def read(self, partition: FeedPartition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        stored = to_arrow_schema(stored_schema(partition.dir_schema_version))
+        data = ds.dataset(partition.bucket_dir, schema=stored, format="parquet")
+        # row-group pruning on the _lsn statistic, then exact filter
+        tbl = data.to_table(filter=ds.field("_lsn") > partition.watermark_lsn)
+
+        out_fields = to_arrow_schema(feed_schema(partition.target_schema_version))
+        n = tbl.num_rows
+        cols = []
+        for field in out_fields:
+            if field.name == "_change_type":
+                deleted = pc.fill_null(tbl["_deleted"], False)
+                cols.append(
+                    pc.if_else(deleted, pa.scalar("delete"), pa.scalar("upsert")).cast(
+                        field.type
+                    )
+                )
+            elif field.name in tbl.column_names:
+                cols.append(tbl[field.name].cast(field.type))
+            else:  # column added by a later schema version -> NULL
+                cols.append(pa.nulls(n, field.type))
+        yield from pa.table(cols, schema=out_fields).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # exactly-once is the SINK's job; offsets live in the checkpoint
+
+
+class LakeFeedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> T.StructType:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("lake_feed requires .option('path', <table root>)")
+        return feed_schema(LakeTable.load(root).schema_version)
+
+    def streamReader(self, schema) -> LakeFeedStreamReader:
+        return LakeFeedStreamReader(self.options)
+
+
+def read_feed_stream(
+    spark: SparkSession, table_root: str, *, start_version: int = 0
+) -> DataFrame:
+    """Register the source (idempotent) and open the change-feed stream."""
+    spark.dataSource.register(LakeFeedDataSource)
+    return (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", table_root)
+        .option("startVersion", str(start_version))
+        .load()
+    )

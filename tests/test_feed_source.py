@@ -1,0 +1,127 @@
+"""Streaming change-feed source (PySpark Python Data Source API):
+stream output ≡ batch `read_changes`, checkpointed resume emits only
+new changes, and per-batch scans are bucket-pruned (partition planning
+is a metadata diff). See streaming/feed_source.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_etl_spark.cdc.apply import apply_batch
+from medallion_etl_spark.cdc.table import LakeTable
+from medallion_etl_spark.streaming.feed_source import (
+    LakeFeedStreamReader,
+    read_feed_stream,
+)
+from medallion_etl_spark.synth import gen_events
+
+
+def _apply(spark, table, events, batch_id, lo, hi):
+    chunk = events.filter(F.col("lsn").between(lo, hi))
+    apply_batch(
+        spark, table, chunk, batch_id=batch_id, lsn_lo=lo, lsn_hi=hi, merge_path="agg"
+    )
+    return LakeTable.load(table.root)
+
+
+@pytest.fixture()
+def built(spark, tmp_path):
+    events = gen_events(spark, n_events=3_000, n_keys=300).cache()
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    table = _apply(spark, table, events, 0, 0, 1_499)
+    table = _apply(spark, table, events, 1, 1_500, 2_999)
+    return table, events
+
+
+def _drain(spark, table_root, sink_name, ckpt, start_version=0):
+    feed = read_feed_stream(spark, table_root, start_version=start_version)
+    q = (
+        feed.writeStream.format("memory")
+        .queryName(sink_name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    return spark.sql(f"SELECT * FROM {sink_name}")
+
+
+def _canon(df):
+    return sorted(
+        (r["doc_id"], r["_lsn"], r["_change_type"]) for r in df.collect()
+    )
+
+
+def test_stream_equals_batch_change_feed(spark, built, tmp_path):
+    table, _ = built
+    got = _drain(spark, table.root, "feed_all", str(tmp_path / "ck1"), start_version=1)
+    want = table.read_changes(spark, since_version=1)
+    assert _canon(got) == _canon(want)
+    # full-history stream from version 0 == current snapshot as changes
+    got0 = _drain(spark, table.root, "feed_zero", str(tmp_path / "ck0"), start_version=0)
+    want0 = table.read_changes(spark, since_version=0)
+    assert _canon(got0) == _canon(want0)
+
+
+def _drain_to_parquet(spark, table_root, out, ckpt):
+    """memory sink can't recover from a checkpoint; the file sink can —
+    this is the resume-capable drain."""
+    feed = read_feed_stream(spark, table_root)
+    q = (
+        feed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    return spark.read.parquet(out)
+
+
+def test_checkpointed_resume_emits_only_new_changes(spark, built, tmp_path):
+    table, events = built
+    ckpt = str(tmp_path / "ck_resume")
+    out = str(tmp_path / "feed_out")
+    first = _drain_to_parquet(spark, table.root, out, ckpt)
+    n_first = first.count()
+    assert n_first > 0
+
+    v_before = table.version
+    # a third batch: bump every key seen in a narrow slice
+    table = _apply(
+        spark,
+        table,
+        events.withColumn("lsn", F.col("lsn") + F.lit(10_000)).filter(
+            F.col("lsn").between(10_000, 10_199)
+        ),
+        2,
+        10_000,
+        10_199,
+    )
+    again = _drain_to_parquet(spark, table.root, out, ckpt)
+    new_rows = [r for r in again.collect() if r["_lsn"] > 9_999]
+    want = table.read_changes(spark, since_version=v_before)
+    assert sorted((r["doc_id"], r["_lsn"]) for r in new_rows) == sorted(
+        (r["doc_id"], r["_lsn"]) for r in want.collect()
+    )
+    # no duplicates of the first drain's rows
+    assert again.count() == n_first + len(new_rows)
+
+
+def test_partition_planning_is_bucket_diff(spark, built):
+    table, _ = built
+    reader = LakeFeedStreamReader({"path": table.root, "startversion": "0"})
+    assert reader.latestOffset() == {"version": 2}
+    parts = reader.partitions({"version": 1}, {"version": 2})
+    # only buckets rewritten by batch 1 are planned
+    changed_dirs = {
+        e["dir"]
+        for b, e in table.meta["buckets"].items()
+        if LakeTable.load_version(table.root, 1).meta["buckets"].get(b, {}).get("dir")
+        != e["dir"]
+    }
+    assert len(parts) == len(changed_dirs) > 0
+    assert reader.partitions({"version": 2}, {"version": 2}) == []
