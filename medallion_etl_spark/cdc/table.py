@@ -234,7 +234,13 @@ class LakeTable:
             return out
         return out.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(*INTERNAL_COLS)
 
-    def read_changes(self, spark: SparkSession, since_version: int) -> DataFrame:
+    def read_changes(
+        self,
+        spark: SparkSession,
+        since_version: int,
+        *,
+        include_preimage: bool = False,
+    ) -> DataFrame:
         """Incremental change feed: net row-level changes between the
         ``since_version`` snapshot and this one (the Delta CDF /
         Iceberg incremental-read analog, built from what the format
@@ -268,7 +274,7 @@ class LakeTable:
             if old_dirs.get(b) != e["dir"]
         ]
         raw = self.read(spark, buckets=changed, raw=True)
-        return (
+        feed = (
             raw.filter(F.col("_lsn") > F.lit(watermark))
             .withColumn(
                 "_change_type",
@@ -278,6 +284,40 @@ class LakeTable:
             )
             .drop("_deleted")
         )
+        if not include_preimage:
+            return feed
+        # Delta-CDF 'update_preimage' analog, derived via time travel:
+        # for every changed key that was LIVE in the old snapshot, emit
+        # its OLD row — what incremental aggregate maintenance needs to
+        # SUBTRACT (delta = +postimages − preimages). Pruned to the same
+        # changed buckets (a key can only change inside a changed
+        # bucket) and keys are matched with a semi join, so the cost
+        # stays O(changed data). The key semi-join is null-safe only in
+        # theory — keys are declared non-null — but eqNullSafe keeps
+        # the two sides consistent with the merge paths' convention.
+        key = self.key_col
+        old_raw = old.read(spark, buckets=changed, raw=True)
+        old_live = old_raw.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(
+            "_deleted"
+        )
+        # align to the CURRENT schema (the old snapshot may predate an
+        # add-column / type-widen evolution): missing columns -> NULL,
+        # narrower types -> cast up
+        feed_types = dict(feed.dtypes)
+        old_live = old_live.select(
+            *[
+                F.col(c).cast(t) if c in old_live.columns else F.lit(None).cast(t).alias(c)
+                for c, t in feed_types.items()
+                if c != "_change_type"
+            ]
+        )
+        # no forced broadcast: the changed-key set is O(|batch|); let
+        # AQE pick broadcast when it is actually small
+        changed_keys = feed.select(F.col(key).alias("_ck")).distinct()
+        pre = old_live.join(
+            changed_keys, F.col(key).eqNullSafe(F.col("_ck")), "left_semi"
+        ).withColumn("_change_type", F.lit("update_preimage"))
+        return feed.unionByName(pre)
 
     # ---- maintenance -----------------------------------------------------
 

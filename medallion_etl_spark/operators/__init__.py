@@ -14,9 +14,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
-    from . import cdc_query, coverage, dedup_text, medallion, multimodal, similarity, textops
+    from . import (
+        cdc_query,
+        coverage,
+        dedup_text,
+        incremental,
+        medallion,
+        multimodal,
+        similarity,
+        textops,
+    )
 
     out: dict[str, tuple[QueryFn, str | None]] = {}
-    for mod in (medallion, cdc_query, coverage, textops, dedup_text, similarity, multimodal):
+    for mod in (
+        medallion,
+        cdc_query,
+        incremental,
+        coverage,
+        textops,
+        dedup_text,
+        similarity,
+        multimodal,
+    ):
         out.update(mod.QUERIES)
     return out

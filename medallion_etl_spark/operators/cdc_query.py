@@ -79,6 +79,34 @@ def cdc_replay_latest_state(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_FEED_ROOTS: dict[str, str] = {}
+
+
+def _feed_table_root(spark: SparkSession, sf: str) -> str:
+    """The driver-events stream replayed in TWO LSN chunks into a
+    process-cached LakeTable (versions: 0 empty, 1 after chunk 0,
+    2+ final) — shared by the change-feed and incremental-gold
+    queries so the replay runs once per process per scale dir."""
+    cached = _FEED_ROOTS.get(sf)
+    if cached is not None and LakeTable.exists(cached):
+        return cached
+    events = T(spark, sf, "events")
+    stream = _as_change_stream(events)
+    n = events.agg(F.max("event_id")).collect()[0][0] or 0
+    chunk = max(int(n) // 2, 1)
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        f"cdc_feed_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    root = f"{tmp}/t"
+    table = LakeTable.create(root, n_buckets=8, schema_version=2)
+    replay(spark, stream, table, chunk_size=chunk, merge_path="agg")
+    _FEED_ROOTS[sf] = root
+    return root
+
+
 def cdc_change_feed(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental change feed through the engine: replay the events
     stream in two LSN chunks, then ask the table for the NET changes
@@ -87,20 +115,8 @@ def cdc_change_feed(spark: SparkSession, sf: str) -> DataFrame:
     net change with one window over the raw events: per key with any
     event past the chunk-0 watermark, its latest event — as an upsert
     (payload) or a delete (NULL payload)."""
-    events = T(spark, sf, "events")
-    stream = _as_change_stream(events)
-    n = events.agg(F.max("event_id")).collect()[0][0] or 0
-    chunk = max(int(n) // 2, 1)
-
-    tmp = os.path.join(
-        tempfile.gettempdir(),
-        f"cdc_feed_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    table = LakeTable.create(f"{tmp}/t", n_buckets=8, schema_version=2)
-    replay(spark, stream, table, chunk_size=chunk, merge_path="agg")
-    feed = LakeTable.load(f"{tmp}/t").read_changes(spark, since_version=1)
+    root = _feed_table_root(spark, sf)
+    feed = LakeTable.load(root).read_changes(spark, since_version=1)
     return feed.select(
         "doc_id",
         F.col("_lsn").alias("lsn"),
