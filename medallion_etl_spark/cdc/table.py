@@ -319,6 +319,28 @@ class LakeTable:
         ).withColumn("_change_type", F.lit("update_preimage"))
         return feed.unionByName(pre)
 
+    def lookup(self, spark: SparkSession, keys: list) -> DataFrame:
+        """Point lookup: current rows for the given keys, reading ONLY
+        the buckets those keys hash to. The bucket id is recomputed
+        driver-side with the same murmur3 the writer used, so an
+        M-key lookup on a B-bucket table opens at most min(M, B)
+        bucket dirs — at 100 TB with thousands of buckets this is the
+        difference between a metadata-sized read and a table scan."""
+        if not keys:
+            return self.read(spark, buckets=[])
+        key_df = spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([T.StructField("_k", T.StringType(), True)])
+        )
+        buckets = [
+            r["_b"]
+            for r in key_df.select(
+                F.pmod(F.hash(F.col("_k")), F.lit(self.n_buckets)).cast("int").alias("_b")
+            )
+            .distinct()
+            .collect()
+        ]
+        return self.read(spark, buckets=buckets).filter(F.col(self.key_col).isin(keys))
+
     # ---- maintenance -----------------------------------------------------
 
     def compact(self, spark: SparkSession, watermark_lsn: int) -> dict:
@@ -355,6 +377,74 @@ class LakeTable:
             },
         )
         return {"buckets": sorted(new_dirs), "buckets_dropped": sorted(removed)}
+
+    def expire_snapshots(self, *, keep_last: int = 1) -> dict:
+        """Storage reclamation (the Iceberg ``expire_snapshots`` /
+        Delta VACUUM analog): drop metadata versions older than the
+        newest ``keep_last`` and delete every data directory no
+        retained version references.
+
+        Copy-on-write means superseded bucket dirs accumulate forever
+        otherwise — at production scale that is unbounded storage for
+        bounded state. After expiry, ``load_version`` only works for
+        retained versions; the change feed's ``since_version`` must
+        stay within the retained window (same retention contract as
+        Delta CDF). Driver-side metadata + filesystem work only; no
+        Spark job. Crash-safe: metadata documents are deleted LAST, so
+        an interrupted expiry never leaves a readable version pointing
+        at deleted data beyond what was already unreferenced."""
+        md_dir = os.path.join(self.root, "metadata")
+        # HEAD from disk, not this handle — expiring from a stale
+        # handle must never delete versions the real HEAD still needs
+        with open(os.path.join(md_dir, "CURRENT")) as f:
+            head = int(f.read().strip().removeprefix("version-").removesuffix(".json"))
+        cutoff = head - max(keep_last, 1) + 1
+        retained_versions = []
+        expired_versions = []
+        for name in os.listdir(md_dir):
+            if not name.startswith("version-") or not name.endswith(".json"):
+                continue
+            v = int(name.removeprefix("version-").removesuffix(".json"))
+            (retained_versions if v >= cutoff else expired_versions).append(v)
+
+        referenced: set[str] = set()
+        for v in retained_versions:
+            with open(os.path.join(md_dir, f"version-{v}.json")) as f:
+                meta = json.load(f)
+            for entry in meta["buckets"].values():
+                referenced.add(os.path.normpath(entry["dir"]))
+
+        # a dir is deletable only if NO retained version references it
+        # (referenced paths are bucket dirs like data/vN/_bucket=K; a
+        # version dir data/vN survives while any of its buckets is
+        # referenced)
+        data_dir = os.path.join(self.root, "data")
+        removed_dirs = []
+        import shutil
+
+        for vdir in sorted(os.listdir(data_dir)):
+            vpath = os.path.join(data_dir, vdir)
+            if not os.path.isdir(vpath):
+                continue
+            for bdir in sorted(os.listdir(vpath)):
+                rel = os.path.normpath(os.path.join("data", vdir, bdir))
+                if rel not in referenced:
+                    target = os.path.join(data_dir, vdir, bdir)
+                    if os.path.isdir(target):
+                        shutil.rmtree(target, ignore_errors=True)
+                    else:  # write markers (_SUCCESS etc.)
+                        os.remove(target)
+                    removed_dirs.append(rel)
+            if not os.listdir(vpath):
+                os.rmdir(vpath)
+        # metadata last (see docstring)
+        for v in sorted(expired_versions):
+            os.remove(os.path.join(md_dir, f"version-{v}.json"))
+        return {
+            "retained_versions": sorted(retained_versions),
+            "expired_versions": sorted(expired_versions),
+            "removed_dirs": removed_dirs,
+        }
 
     # ---- commit ----------------------------------------------------------
 

@@ -120,11 +120,58 @@ def test_change_feed_prunes_untouched_buckets(spark, tmp_path):
     assert all(r["_change_type"] == "upsert" for r in got)
 
 
+def test_lookup_reads_only_hashed_buckets(spark, replayed):
+    table, _ = replayed
+    rows = table.read(spark).select("doc_id").limit(3).collect()
+    keys = [r["doc_id"] for r in rows]
+    got = table.lookup(spark, keys)
+    assert {r["doc_id"] for r in got.collect()} == set(keys)
+    # physical pruning: input files limited to the keys' bucket dirs
+    from medallion_etl_spark.cdc.table import bucket_expr
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "doc_id string")
+    want_buckets = {
+        r["b"] for r in kdf.select(bucket_expr("doc_id", table.n_buckets).alias("b")).collect()
+    }
+    allowed_dirs = {
+        e["dir"] for b, e in table.meta["buckets"].items() if int(b) in want_buckets
+    }
+    assert all(any(d in f for d in allowed_dirs) for f in got.inputFiles())
+    assert len({f.rsplit("/", 2)[1] for f in got.inputFiles()}) <= len(want_buckets) * 2
+
+    assert table.lookup(spark, []).count() == 0
+
+
 def test_commit_from_stale_snapshot_refuses(spark, replayed):
     table, _ = replayed
     stale = LakeTable.load_version(table.root, 1)
     with pytest.raises(RuntimeError, match="fork/rewind"):
         stale.commit({}, set(), None)
+
+
+def test_expire_snapshots_reclaims_unreferenced_data(spark, replayed):
+    import os
+
+    table, _ = replayed
+    before_state = sorted(tuple(r) for r in table.read(spark).collect())
+    res = table.expire_snapshots(keep_last=2)
+    assert res["expired_versions"] == [0, 1]
+    assert res["retained_versions"] == [2, 3]
+    assert len(res["removed_dirs"]) > 0
+    for rel in res["removed_dirs"]:
+        assert not os.path.exists(os.path.join(table.root, rel))
+
+    # current snapshot unharmed; retained time travel + feed still work
+    table = LakeTable.load(table.root)
+    assert sorted(tuple(r) for r in table.read(spark).collect()) == before_state
+    assert LakeTable.load_version(table.root, 2).read(spark).count() > 0
+    assert table.read_changes(spark, since_version=2).count() > 0
+    with pytest.raises(ValueError, match="no snapshot"):
+        LakeTable.load_version(table.root, 1)
+
+    # idempotent: a second expiry has nothing left to remove
+    res2 = table.expire_snapshots(keep_last=2)
+    assert res2["removed_dirs"] == [] and res2["expired_versions"] == []
 
 
 def test_load_version_missing_raises(replayed):
