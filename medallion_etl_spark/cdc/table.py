@@ -359,9 +359,17 @@ class LakeTable:
         )
         rel_dir = self.new_data_dir()
         out_dir = os.path.join(self.root, rel_dir)
-        keep.repartition(self.n_buckets, F.col("_bucket")).write.mode("overwrite").partitionBy(
-            "_bucket"
-        ).parquet(out_dir)
+        # cluster by key within each bucket: merge writes are
+        # arrival-ordered, so compaction is the write-amortized place
+        # to sort — parquet min/max key statistics then give point
+        # lookups row-group pruning on top of bucket pruning
+        (
+            keep.repartition(self.n_buckets, F.col("_bucket"))
+            .sortWithinPartitions("_bucket", self.key_col)
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out_dir)
+        )
         new_dirs: dict[int, str] = {}
         for entry in os.listdir(out_dir):
             if entry.startswith("_bucket="):

@@ -174,6 +174,30 @@ def test_expire_snapshots_reclaims_unreferenced_data(spark, replayed):
     assert res2["removed_dirs"] == [] and res2["expired_versions"] == []
 
 
+def test_compact_clusters_buckets_by_key(spark, replayed):
+    """compact() sorts rows by key within each bucket file, so parquet
+    min/max key stats support row-group pruning for lookups."""
+    import pyarrow.parquet as pq
+
+    table, _ = replayed
+    table.compact(spark, watermark_lsn=0)
+    table = LakeTable.load(table.root)
+    checked = 0
+    for entry in table.meta["buckets"].values():
+        bdir = f"{table.root}/{entry['dir']}"
+        import os
+
+        for fn in os.listdir(bdir):
+            if not fn.endswith(".parquet"):
+                continue
+            ids = pq.read_table(os.path.join(bdir, fn), columns=["doc_id"])[
+                "doc_id"
+            ].to_pylist()
+            assert ids == sorted(ids)
+            checked += 1
+    assert checked >= 4
+
+
 def test_load_version_missing_raises(replayed):
     table, _ = replayed
     with pytest.raises(ValueError, match="no snapshot"):
