@@ -488,7 +488,40 @@ class LakeTable:
         bucket_row_counts: dict[int, int] | None = None,
     ) -> None:
         """Atomically publish: rewritten bucket pointers + manifest entry
-        (+ optional schema evolution) in one metadata swap."""
+        (+ optional schema evolution) in one metadata swap.
+
+        Optimistic concurrency: the head re-check and the pointer swap
+        happen under an exclusive ``flock`` on ``metadata/COMMIT_LOCK``,
+        so two writers racing from the same base version serialize and
+        the loser gets a ``RuntimeError`` (reload-and-retry is the
+        caller's move) instead of silently overwriting the winner's
+        commit — the single-filesystem analog of Iceberg's conditional
+        metadata swap (on an object store this would be a
+        compare-and-swap / conditional PUT)."""
+        import fcntl
+
+        md_dir = os.path.join(self.root, "metadata")
+        with open(os.path.join(md_dir, "COMMIT_LOCK"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                self._commit_locked(
+                    new_bucket_dirs,
+                    removed_buckets,
+                    batch_record,
+                    schema_version,
+                    bucket_row_counts,
+                )
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+
+    def _commit_locked(
+        self,
+        new_bucket_dirs: dict[int, str],
+        removed_buckets: set[int],
+        batch_record: tuple[int, dict] | None,
+        schema_version: int | None,
+        bucket_row_counts: dict[int, int] | None,
+    ) -> None:
         current = os.path.join(self.root, "metadata", "CURRENT")
         if os.path.exists(current):
             with open(current) as f:
@@ -496,8 +529,9 @@ class LakeTable:
             if head > self.version:
                 raise RuntimeError(
                     f"table HEAD is version {head} but this handle is at "
-                    f"{self.version} (a time-travel snapshot or a stale "
-                    "loader): committing would fork/rewind history"
+                    f"{self.version} (a time-travel snapshot, a stale loader, "
+                    "or a concurrent writer won the race): committing would "
+                    "fork/rewind history — reload the table and retry"
                 )
         meta = json.loads(json.dumps(self.meta))  # deep copy
         meta["version"] = self.version + 1
