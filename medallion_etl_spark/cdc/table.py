@@ -240,6 +240,7 @@ class LakeTable:
         since_version: int,
         *,
         include_preimage: bool = False,
+        allow_incomplete: bool = False,
     ) -> DataFrame:
         """Incremental change feed: net row-level changes between the
         ``since_version`` snapshot and this one (the Delta CDF /
@@ -258,15 +259,26 @@ class LakeTable:
         ``_lsn > watermark`` filter prunes row groups via parquet
         min/max stats. Cost is O(|changed data|), not O(|table|).
 
-        Correctness caveat (documented contract): ``compact()`` purges
-        tombstones at or below its ``watermark_lsn``; a change feed
-        whose ``since_version`` predates a later compaction may have
-        lost delete records it never saw. Consumers must read their
-        feed before compaction passes their watermark — same contract
-        as Delta CDF's retention window.
+        Retention contract (ENFORCED): ``compact()`` purges tombstones
+        at or below its ``watermark_lsn`` and records it in the
+        metadata; a feed whose ``since_version`` watermark is older
+        than that purge point may have lost delete records, so it
+        RAISES instead of silently under-reporting deletes — the Delta
+        CDF retention-window error, not its silent variant. Pass
+        ``allow_incomplete=True`` to read anyway (upserts are always
+        complete; only tombstones can be missing).
         """
         old = LakeTable.load_version(self.root, since_version)
         watermark = old.max_committed_lsn()
+        purge_lsn = int(self.meta.get("compaction_watermark_lsn", -1))
+        if watermark < purge_lsn and not allow_incomplete:
+            raise ValueError(
+                f"change feed since version {since_version} (watermark LSN "
+                f"{watermark}) predates a compaction that purged tombstones "
+                f"up to LSN {purge_lsn}: delete records in that span are "
+                "gone. Re-bootstrap from the current snapshot, or pass "
+                "allow_incomplete=True if missing deletes are acceptable."
+            )
         old_dirs = {b: e["dir"] for b, e in old.meta["buckets"].items()}
         changed = [
             int(b)
@@ -383,6 +395,12 @@ class LakeTable:
             bucket_row_counts={
                 b: count_dir_rows(os.path.join(self.root, rel)) for b, rel in new_dirs.items()
             },
+            meta_updates={
+                # the purge point, for the change feed's retention gate
+                "compaction_watermark_lsn": max(
+                    int(self.meta.get("compaction_watermark_lsn", -1)), watermark_lsn
+                )
+            },
         )
         return {"buckets": sorted(new_dirs), "buckets_dropped": sorted(removed)}
 
@@ -486,6 +504,7 @@ class LakeTable:
         batch_record: tuple[int, dict] | None,
         schema_version: int | None = None,
         bucket_row_counts: dict[int, int] | None = None,
+        meta_updates: dict | None = None,
     ) -> None:
         """Atomically publish: rewritten bucket pointers + manifest entry
         (+ optional schema evolution) in one metadata swap.
@@ -510,6 +529,7 @@ class LakeTable:
                     batch_record,
                     schema_version,
                     bucket_row_counts,
+                    meta_updates,
                 )
             finally:
                 fcntl.flock(lock, fcntl.LOCK_UN)
@@ -521,6 +541,7 @@ class LakeTable:
         batch_record: tuple[int, dict] | None,
         schema_version: int | None,
         bucket_row_counts: dict[int, int] | None,
+        meta_updates: dict | None,
     ) -> None:
         current = os.path.join(self.root, "metadata", "CURRENT")
         if os.path.exists(current):
@@ -551,6 +572,8 @@ class LakeTable:
         if batch_record is not None:
             batch_id, rec = batch_record
             meta["committed_batches"][str(batch_id)] = rec
+        if meta_updates:
+            meta.update(meta_updates)
         meta["committed_at_unix"] = time.time()
         self._write_metadata(meta)
         self.meta = meta

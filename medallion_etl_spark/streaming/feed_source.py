@@ -90,6 +90,16 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         old = LakeTable.load_version(self.root, start_v)
         new = LakeTable.load_version(self.root, end_v)
         watermark = old.max_committed_lsn()
+        purge_lsn = int(new.meta.get("compaction_watermark_lsn", -1))
+        if watermark < purge_lsn:
+            # retention gate (same as read_changes): a compaction purged
+            # tombstones this stream has not consumed — failing the
+            # query beats silently losing deletes
+            raise ValueError(
+                f"stream offset version {start_v} (watermark LSN {watermark}) "
+                f"predates a compaction purge up to LSN {purge_lsn}; "
+                "restart the stream from a fresh bootstrap"
+            )
         old_dirs = {b: e["dir"] for b, e in old.meta["buckets"].items()}
         return [
             FeedPartition(

@@ -174,6 +174,29 @@ def test_expire_snapshots_reclaims_unreferenced_data(spark, replayed):
     assert res2["removed_dirs"] == [] and res2["expired_versions"] == []
 
 
+def test_change_feed_retention_gate(spark, replayed):
+    """A compaction that purges tombstones past a snapshot's watermark
+    makes that snapshot's change feed incomplete — the feed must raise,
+    not silently drop deletes."""
+    table, _ = replayed
+    wm_v1 = LakeTable.load_version(table.root, 1).max_committed_lsn()
+    table.compact(spark, watermark_lsn=wm_v1 + 100)
+    table = LakeTable.load(table.root)
+    assert int(table.meta["compaction_watermark_lsn"]) == wm_v1 + 100
+    with pytest.raises(ValueError, match="predates a compaction"):
+        table.read_changes(spark, since_version=1)
+    # explicit opt-in still reads (upserts are complete)
+    assert table.read_changes(spark, since_version=1, allow_incomplete=True).count() >= 0
+    # the streaming source enforces the same gate at planning time
+    from medallion_etl_spark.streaming.feed_source import LakeFeedStreamReader
+
+    reader = LakeFeedStreamReader({"path": table.root, "startversion": "1"})
+    with pytest.raises(ValueError, match="predates a compaction"):
+        reader.partitions({"version": 1}, {"version": table.version})
+    # a post-compaction snapshot is past the purge point: feed is fine
+    assert table.read_changes(spark, since_version=table.version).count() == 0
+
+
 def test_compact_clusters_buckets_by_key(spark, replayed):
     """compact() sorts rows by key within each bucket file, so parquet
     min/max key stats support row-group pruning for lookups."""
