@@ -96,18 +96,32 @@ def replay(
     phase_totals: dict[str, float] = {}
     for batch_id, lo, hi in todo:
         chunk = events.filter(F.col("lsn").between(lo, hi))
-        res = apply_batch(
-            spark,
-            table,
-            chunk,
-            batch_id,
-            lo,
-            hi,
-            dedup_strategy=dedup_strategy,
-            n_salts=n_salts,
-            merge_path=merge_path,
-            precomputed_stats=stats_by_chunk.get(batch_id, []),
-        )
+        # concurrent-writer resilience: if another replayer committed
+        # between our load and this chunk's commit, the optimistic-
+        # concurrency gate raises — reload the table (picking up the
+        # other writer's buckets AND manifest: the chunk may now be a
+        # skip) and re-apply against the fresh base. The merge is
+        # order-independent, so re-computing against the newer base is
+        # exactly as correct as having loaded it first.
+        for attempt in range(3):
+            try:
+                res = apply_batch(
+                    spark,
+                    table,
+                    chunk,
+                    batch_id,
+                    lo,
+                    hi,
+                    dedup_strategy=dedup_strategy,
+                    n_salts=n_salts,
+                    merge_path=merge_path,
+                    precomputed_stats=stats_by_chunk.get(batch_id, []),
+                )
+                break
+            except RuntimeError as exc:
+                if "fork/rewind" not in str(exc) or attempt == 2:
+                    raise
+                table = LakeTable.load(table.root)
         if not res.get("skipped"):
             batches += 1
             rows += res.get("rows_applied", 0)

@@ -477,9 +477,18 @@ class LakeTable:
     def new_data_dir(self) -> str:
         """Relative dir the next commit's rewritten buckets go to.
 
-        Named by target version; a crash-resumed retry overwrites it.
-        """
-        return os.path.join("data", f"v{self.version + 1}")
+        Version-prefixed for operator legibility but UNIQUE per
+        attempt (uuid suffix): two writers racing from the same base
+        version must never target the same directory, or the loser's
+        pre-commit file writes would clobber the winner's committed
+        data. Crashed/lost attempts leave orphan dirs that are never
+        referenced by any metadata version; ``expire_snapshots``
+        reclaims them (don't run it concurrently with in-flight
+        writers — their not-yet-committed dirs are indistinguishable
+        from orphans)."""
+        import uuid
+
+        return os.path.join("data", f"v{self.version + 1}-{uuid.uuid4().hex[:8]}")
 
     def bucket_rows(self, buckets: list[int] | None = None) -> int | None:
         """Total stored rows (incl. tombstones) in the given buckets,

@@ -1,7 +1,8 @@
 """Optimistic-concurrency commit: racing writers serialize under the
 metadata flock; the loser gets RuntimeError and retries from a fresh
-load — no commit (batch record or version) is ever lost. Pure
-metadata, no Spark session needed."""
+load — no commit (batch record or version) is ever lost. The
+lost-update race test is pure metadata (no Spark); the replay-level
+test drives the reload-and-retry path end-to-end."""
 
 from __future__ import annotations
 
@@ -45,3 +46,32 @@ def test_concurrent_commits_never_lose_updates(tmp_path):
     # every writer's commit landed in its own version; none overwritten
     assert final.version == N_WRITERS
     assert set(final.committed_batches()) == {1_000 + i for i in range(N_WRITERS)}
+
+
+def test_replay_retries_after_concurrent_commit(spark, tmp_path):
+    """A replay holding a stale handle must survive another writer's
+    interleaved commit: the conflicted chunk reloads and re-applies
+    against the fresh base instead of failing or clobbering it."""
+    from medallion_etl_spark.cdc.replay import replay
+    from medallion_etl_spark.synth import gen_events
+
+    root = str(tmp_path / "t")
+    LakeTable.create(root, n_buckets=8)
+    stale = LakeTable.load(root)  # version 0
+    # another writer wins a commit while `stale` is in hand
+    other = LakeTable.load(root)
+    other.commit({}, set(), (777, {"lsn_lo": -1, "lsn_hi": -1, "rows_applied": 0}))
+
+    events = gen_events(spark, n_events=4_000, n_keys=400)
+    res = replay(spark, events, stale, chunk_size=2_000)
+    assert res["batches_applied"] == 2
+
+    final = LakeTable.load(root)
+    assert final.is_committed(0) and final.is_committed(1) and final.is_committed(777)
+    # state equals a clean single-writer replay
+    clean_root = str(tmp_path / "clean")
+    clean = LakeTable.create(clean_root, n_buckets=8)
+    replay(spark, events, clean, chunk_size=2_000)
+    got = sorted(tuple(r) for r in final.read(spark).collect())
+    want = sorted(tuple(r) for r in LakeTable.load(clean_root).read(spark).collect())
+    assert got == want
