@@ -120,6 +120,16 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         import pyarrow.dataset as ds
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        if partition.dir_schema_version > partition.target_schema_version:
+            # the table evolved past the schema this query started
+            # with: narrowing casts could corrupt values, so fail the
+            # stream explicitly (Delta's fail-on-schema-change
+            # behavior) — restarting picks up the new schema
+            raise ValueError(
+                f"bucket written with schema v{partition.dir_schema_version} "
+                f"but this stream started at v{partition.target_schema_version}: "
+                "table schema evolved mid-stream; restart the streaming query"
+            )
         stored = to_arrow_schema(stored_schema(partition.dir_schema_version))
         data = ds.dataset(partition.bucket_dir, schema=stored, format="parquet")
         # row-group pruning on the _lsn statistic, then exact filter

@@ -111,6 +111,25 @@ def test_checkpointed_resume_emits_only_new_changes(spark, built, tmp_path):
     assert again.count() == n_first + len(new_rows)
 
 
+def test_mid_stream_schema_evolution_fails_loudly(built):
+    """A bucket written with a NEWER schema than the query started
+    with must fail the stream (narrowing casts could corrupt values),
+    not silently coerce — Delta's fail-on-schema-change behavior."""
+    from medallion_etl_spark.streaming.feed_source import FeedPartition
+
+    table, _ = built
+    reader = LakeFeedStreamReader({"path": table.root})
+    some_dir = next(iter(table.meta["buckets"].values()))["dir"]
+    part = FeedPartition(
+        bucket_dir=f"{table.root}/{some_dir}",
+        dir_schema_version=3,
+        target_schema_version=2,
+        watermark_lsn=-1,
+    )
+    with pytest.raises(ValueError, match="evolved mid-stream"):
+        next(reader.read(part))
+
+
 def test_partition_planning_is_bucket_diff(spark, built):
     table, _ = built
     reader = LakeFeedStreamReader({"path": table.root, "startversion": "0"})
