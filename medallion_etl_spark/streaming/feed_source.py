@@ -21,9 +21,14 @@ parquet row-group statistics via pyarrow's predicate pushdown.
 Contracts (same as `read_changes`, documented there): the feed is the
 NET change per key between offsets; tombstones older than a later
 `compact()` watermark are not replayable; the output schema is fixed
-at query start (a mid-stream schema evolution is aligned to the
-query-start schema — widen-reads cast, added columns are dropped
-until the query restarts).
+at query start. A schema evolution DURING a run fails the query
+loudly (Delta's fail-on-schema-change behavior — narrowing the
+evolved bucket to the query-start schema could corrupt values);
+restarting the query from the SAME checkpoint re-pins the schema at
+the new version and continues from the checkpointed offset —
+pre-evolution files align on read (added column -> NULL, widen ->
+cast) and no consumed change is re-emitted
+(tests/test_feed_source.py::test_schema_evolution_restart_continues).
 
 Reference analog: the reference has no streaming surface at all
 (SURVEY.md §2.9); this is the north_rule's streaming-consumption leg

@@ -130,6 +130,54 @@ def test_mid_stream_schema_evolution_fails_loudly(built):
         next(reader.read(part))
 
 
+def test_schema_evolution_restart_continues(spark, tmp_path):
+    """The evolution contract end-to-end: a run started before an
+    evolution fails loudly on the evolved bucket (covered above); a
+    RESTART from the same checkpoint re-pins the query schema at the
+    new version and continues from the checkpointed offset — consumed
+    changes are not re-emitted, new changes carry the added column,
+    and pre-evolution files align (added column -> NULL)."""
+    events = gen_events(spark, n_events=2_000, n_keys=200).cache()
+    v1_events = events.withColumn("schema_version", F.lit(1)).withColumn(
+        "lang", F.lit(None).cast("string")
+    )
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    table = _apply(spark, table, v1_events, 0, 0, 1_999)
+    assert table.schema_version == 1
+
+    ckpt = str(tmp_path / "ck_evolve")
+    out = str(tmp_path / "feed_evolve_out")
+    first = _drain_to_parquet(spark, table.root, out, ckpt)
+    n_first = first.count()
+    assert n_first > 0 and "lang" not in first.columns
+
+    # evolve: v2 batch (adds `lang`) over a narrow key slice
+    v_before = table.version
+    v2_events = (
+        events.filter(F.col("lsn") < 150)
+        .withColumn("lsn", F.col("lsn") + F.lit(50_000))
+        .withColumn("schema_version", F.lit(2))
+        .withColumn("lang", F.lit("es"))
+    )
+    table = _apply(spark, table, v2_events, 1, 50_000, 50_149)
+    assert table.schema_version == 2
+
+    # fresh query, SAME checkpoint: restart-and-continue
+    again = spark.read.option("mergeSchema", "true").parquet(out)
+    pre_restart = again.count()
+    assert pre_restart == n_first  # nothing written between drains
+    again = _drain_to_parquet(spark, table.root, out, ckpt)
+    again = spark.read.option("mergeSchema", "true").parquet(out)
+    new_rows = [r for r in again.collect() if r["_lsn"] >= 50_000]
+    want = table.read_changes(spark, since_version=v_before).collect()
+    assert sorted((r["doc_id"], r["_lsn"], r["lang"]) for r in new_rows) == sorted(
+        (r["doc_id"], r["_lsn"], r["lang"]) for r in want
+    )
+    assert all(r["lang"] == "es" for r in new_rows if r["_change_type"] == "upsert")
+    # no re-emission of the first drain's rows
+    assert again.count() == n_first + len(new_rows)
+
+
 def test_partition_planning_is_bucket_diff(spark, built):
     table, _ = built
     reader = LakeFeedStreamReader({"path": table.root, "startversion": "0"})
