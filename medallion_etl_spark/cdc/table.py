@@ -355,13 +355,26 @@ class LakeTable:
 
     # ---- maintenance -----------------------------------------------------
 
-    def compact(self, spark: SparkSession, watermark_lsn: int) -> dict:
+    def compact(
+        self,
+        spark: SparkSession,
+        watermark_lsn: int,
+        *,
+        zorder_by: list[str] | None = None,
+    ) -> dict:
         """Garbage-collect delete tombstones at or below the low
         watermark (an LSN every producer is known to have passed —
         events with lower LSNs can no longer arrive, so the tombstones
         have nothing left to block). Rewrites the table at the current
         schema version; one atomic commit. The Iceberg snapshot-expiry
-        / Delta VACUUM analog, LSN-based instead of time-based."""
+        / Delta VACUUM analog, LSN-based instead of time-based.
+
+        ``zorder_by``: optionally cluster each bucket by the Z-value
+        of these columns instead of by key (the Delta ``OPTIMIZE ...
+        ZORDER BY`` analog; see cdc/zorder.py) — row-group min/max
+        stats become tight on every listed dimension, so scans
+        filtered on non-key columns prune row groups. Key point
+        lookups keep their bucket pruning either way."""
         base = self.read(spark, raw=True)
         purgeable = F.coalesce(F.col("_deleted"), F.lit(False)) & (
             F.col("_lsn") <= F.lit(watermark_lsn)
@@ -369,15 +382,23 @@ class LakeTable:
         keep = base.filter(~purgeable).withColumn(
             "_bucket", bucket_expr(self.key_col, self.n_buckets)
         )
+        # cluster within each bucket: merge writes are arrival-ordered,
+        # so compaction is the write-amortized place to sort — parquet
+        # min/max statistics on the sort dimensions then give scans
+        # row-group pruning on top of bucket pruning. Default sort is
+        # the key (point lookups); zorder_by trades that for tight
+        # stats on several non-key dimensions at once.
+        if zorder_by:
+            from .zorder import zvalue_col
+
+            sort_col: F.Column | str = zvalue_col(keep, zorder_by)
+        else:
+            sort_col = self.key_col
         rel_dir = self.new_data_dir()
         out_dir = os.path.join(self.root, rel_dir)
-        # cluster by key within each bucket: merge writes are
-        # arrival-ordered, so compaction is the write-amortized place
-        # to sort — parquet min/max key statistics then give point
-        # lookups row-group pruning on top of bucket pruning
         (
             keep.repartition(self.n_buckets, F.col("_bucket"))
-            .sortWithinPartitions("_bucket", self.key_col)
+            .sortWithinPartitions("_bucket", sort_col)
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(out_dir)
@@ -399,7 +420,13 @@ class LakeTable:
                 # the purge point, for the change feed's retention gate
                 "compaction_watermark_lsn": max(
                     int(self.meta.get("compaction_watermark_lsn", -1)), watermark_lsn
-                )
+                ),
+                # operator legibility only — readers never depend on layout
+                "clustering": (
+                    {"kind": "zorder", "cols": list(zorder_by)}
+                    if zorder_by
+                    else {"kind": "key", "cols": [self.key_col]}
+                ),
             },
         )
         return {"buckets": sorted(new_dirs), "buckets_dropped": sorted(removed)}
