@@ -10,7 +10,7 @@ orchestrator.py:480-509) as an LSN-range re-apply.
     python scripts/orchestrator.py gold htls | gold cobertura
     python scripts/orchestrator.py gold query <driver-query-name>
     python scripts/orchestrator.py partial-refresh <lsn_lo> <lsn_hi>
-    python scripts/orchestrator.py compact <watermark_lsn>
+    python scripts/orchestrator.py compact <watermark_lsn> [--zorder col,col]
     python scripts/orchestrator.py changes <since_version>
     python scripts/orchestrator.py snapshot <version>
 
@@ -146,7 +146,8 @@ def cmd_compact(spark, args) -> dict:
     from medallion_etl_spark.cdc.table import LakeTable
 
     table = LakeTable.load(_table_root(args.out))
-    return table.compact(spark, int(args.watermark_lsn))
+    zorder = args.zorder.split(",") if args.zorder else None
+    return table.compact(spark, int(args.watermark_lsn), zorder_by=zorder)
 
 
 def cmd_changes(spark, args) -> dict:
@@ -189,6 +190,7 @@ def main() -> None:
     p.add_argument("lsn_hi")
     p = sub.add_parser("compact")
     p.add_argument("watermark_lsn")
+    p.add_argument("--zorder", default=None, help="comma-separated columns to Z-order by")
     p = sub.add_parser("changes")
     p.add_argument("since_version")
     p = sub.add_parser("snapshot")

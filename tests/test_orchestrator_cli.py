@@ -68,3 +68,20 @@ def test_refresh_batch_ids_stable_and_namespaced():
 def test_gold_query_dispatch_unknown_name_exits(spark, tmp_path, sf_tiny):
     with pytest.raises(SystemExit, match="unknown query"):
         cmd_gold(spark, _args(tmp_path, sf_tiny, entity="query", name="nope"))
+
+
+def test_compact_zorder_via_cli(spark, tmp_path, sf_tiny):
+    from medallion_etl_spark.cdc.table import LakeTable
+    from scripts.orchestrator import _table_root, cmd_compact
+
+    cmd_bronze(spark, _args(tmp_path, sf_tiny))
+    res = cmd_compact(
+        spark, _args(tmp_path, sf_tiny, watermark_lsn="0", zorder="n_tok,source")
+    )
+    assert res["buckets"]
+    table = LakeTable.load(_table_root(str(tmp_path)))
+    assert table.meta["clustering"] == {"kind": "zorder", "cols": ["n_tok", "source"]}
+    # default path (no flag) must keep working and record the key sort
+    cmd_compact(spark, _args(tmp_path, sf_tiny, watermark_lsn="0", zorder=None))
+    table = LakeTable.load(_table_root(str(tmp_path)))
+    assert table.meta["clustering"]["kind"] == "key"
