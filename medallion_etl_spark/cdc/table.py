@@ -361,6 +361,7 @@ class LakeTable:
         watermark_lsn: int,
         *,
         zorder_by: list[str] | None = None,
+        zorder_coding: str = "linear",
     ) -> dict:
         """Garbage-collect delete tombstones at or below the low
         watermark (an LSN every producer is known to have passed —
@@ -374,7 +375,10 @@ class LakeTable:
         ZORDER BY`` analog; see cdc/zorder.py) — row-group min/max
         stats become tight on every listed dimension, so scans
         filtered on non-key columns prune row groups. Key point
-        lookups keep their bucket pruning either way."""
+        lookups keep their bucket pruning either way.
+        ``zorder_coding``: ``linear`` (equal-width bins, one min/max
+        aggregate) or ``quantile`` (equal-frequency bins from an
+        approxQuantile sketch — use for skewed dimensions)."""
         base = self.read(spark, raw=True)
         purgeable = F.coalesce(F.col("_deleted"), F.lit(False)) & (
             F.col("_lsn") <= F.lit(watermark_lsn)
@@ -391,7 +395,7 @@ class LakeTable:
         if zorder_by:
             from .zorder import zvalue_col
 
-            sort_col: F.Column | str = zvalue_col(keep, zorder_by)
+            sort_col: F.Column | str = zvalue_col(keep, zorder_by, coding=zorder_coding)
         else:
             sort_col = self.key_col
         rel_dir = self.new_data_dir()
@@ -423,7 +427,7 @@ class LakeTable:
                 ),
                 # operator legibility only — readers never depend on layout
                 "clustering": (
-                    {"kind": "zorder", "cols": list(zorder_by)}
+                    {"kind": "zorder", "cols": list(zorder_by), "coding": zorder_coding}
                     if zorder_by
                     else {"kind": "key", "cols": [self.key_col]}
                 ),
@@ -499,6 +503,79 @@ class LakeTable:
             "removed_dirs": removed_dirs,
         }
 
+    def remove_orphans(self, *, older_than_seconds: int = 3 * 86400) -> dict:
+        """Reclaim data directories no metadata version references —
+        the residue of crashed or commit-race-losing write attempts
+        (``new_data_dir`` is unique per attempt, so a loser's files
+        can never clobber the winner's, but they do stay on disk).
+
+        The Iceberg ``remove_orphan_files`` analog, with the same
+        safety contract: an unreferenced dir is only deleted once its
+        newest mtime is older than ``older_than_seconds`` (Iceberg's
+        default is 3 days), because a RECENT unreferenced dir may be
+        an in-flight writer's not-yet-committed attempt. This makes
+        the sweep safe to run alongside live writers — unlike
+        ``expire_snapshots``, which reclaims superseded history and
+        must be run in a quiet window. Keeps every metadata version;
+        driver-side filesystem work only, no Spark job."""
+        import shutil
+        import time
+
+        md_dir = os.path.join(self.root, "metadata")
+        referenced: set[str] = set()
+        for name in os.listdir(md_dir):
+            if not name.startswith("version-") or not name.endswith(".json"):
+                continue
+            with open(os.path.join(md_dir, name)) as f:
+                meta = json.load(f)
+            for entry in meta["buckets"].values():
+                referenced.add(os.path.normpath(entry["dir"]))
+
+        referenced_vdirs = {os.path.dirname(rel) for rel in referenced}
+        cutoff = time.time() - older_than_seconds
+        data_dir = os.path.join(self.root, "data")
+        removed: list[str] = []
+        kept_recent: list[str] = []
+        for vdir in sorted(os.listdir(data_dir)) if os.path.isdir(data_dir) else []:
+            vpath = os.path.join(data_dir, vdir)
+            if not os.path.isdir(vpath):
+                continue
+            vdir_live = os.path.normpath(os.path.join("data", vdir)) in referenced_vdirs
+            for bdir in sorted(os.listdir(vpath)):
+                rel = os.path.normpath(os.path.join("data", vdir, bdir))
+                if rel in referenced:
+                    continue
+                target_is_dir = os.path.isdir(os.path.join(vpath, bdir))
+                if vdir_live and not target_is_dir:
+                    # loose write markers (_SUCCESS etc.) of a LIVE
+                    # commit's version dir — not orphans
+                    continue
+                target = os.path.join(vpath, bdir)
+                # newest mtime anywhere under the dir: a writer still
+                # streaming files into it keeps bumping this
+                if os.path.isdir(target):
+                    newest = max(
+                        (
+                            os.path.getmtime(os.path.join(dp, f))
+                            for dp, _, fs in os.walk(target)
+                            for f in fs
+                        ),
+                        default=os.path.getmtime(target),
+                    )
+                else:
+                    newest = os.path.getmtime(target)
+                if newest > cutoff:
+                    kept_recent.append(rel)
+                    continue
+                if os.path.isdir(target):
+                    shutil.rmtree(target, ignore_errors=True)
+                else:  # stray write markers (_SUCCESS etc.)
+                    os.remove(target)
+                removed.append(rel)
+            if os.path.isdir(vpath) and not os.listdir(vpath):
+                os.rmdir(vpath)
+        return {"removed_dirs": removed, "kept_recent": kept_recent}
+
     # ---- commit ----------------------------------------------------------
 
     def new_data_dir(self) -> str:
@@ -509,10 +586,9 @@ class LakeTable:
         version must never target the same directory, or the loser's
         pre-commit file writes would clobber the winner's committed
         data. Crashed/lost attempts leave orphan dirs that are never
-        referenced by any metadata version; ``expire_snapshots``
-        reclaims them (don't run it concurrently with in-flight
-        writers — their not-yet-committed dirs are indistinguishable
-        from orphans)."""
+        referenced by any metadata version; ``remove_orphans`` (age-
+        guarded, safe alongside live writers) or ``expire_snapshots``
+        (quiet-window only) reclaims them."""
         import uuid
 
         return os.path.join("data", f"v{self.version + 1}-{uuid.uuid4().hex[:8]}")
