@@ -11,6 +11,7 @@ orchestrator.py:480-509) as an LSN-range re-apply.
     python scripts/orchestrator.py gold query <driver-query-name>
     python scripts/orchestrator.py partial-refresh <lsn_lo> <lsn_hi>
     python scripts/orchestrator.py compact <watermark_lsn> [--zorder col,col]
+    python scripts/orchestrator.py remove-orphans [--older-than-hours H]
     python scripts/orchestrator.py changes <since_version>
     python scripts/orchestrator.py snapshot <version>
 
@@ -147,7 +148,12 @@ def cmd_compact(spark, args) -> dict:
 
     table = LakeTable.load(_table_root(args.out))
     zorder = args.zorder.split(",") if args.zorder else None
-    return table.compact(spark, int(args.watermark_lsn), zorder_by=zorder)
+    return table.compact(
+        spark,
+        int(args.watermark_lsn),
+        zorder_by=zorder,
+        zorder_coding=getattr(args, "zorder_coding", None) or "linear",
+    )
 
 
 def cmd_changes(spark, args) -> dict:
@@ -158,6 +164,13 @@ def cmd_changes(spark, args) -> dict:
     by_type = {r["_change_type"]: r["n"] for r in
                feed.groupBy("_change_type").count().withColumnRenamed("count", "n").collect()}
     return {"since_version": int(args.since_version), "changes": by_type}
+
+
+def cmd_remove_orphans(spark, args) -> dict:
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    table = LakeTable.load(_table_root(args.out))
+    return table.remove_orphans(older_than_seconds=int(float(args.older_than_hours) * 3600))
 
 
 def cmd_snapshot(spark, args) -> dict:
@@ -191,6 +204,18 @@ def main() -> None:
     p = sub.add_parser("compact")
     p.add_argument("watermark_lsn")
     p.add_argument("--zorder", default=None, help="comma-separated columns to Z-order by")
+    p.add_argument(
+        "--zorder-coding",
+        default="linear",
+        choices=["linear", "quantile"],
+        help="bin coding: linear (min/max widths) or quantile (equal-frequency, for skew)",
+    )
+    p = sub.add_parser("remove-orphans")
+    p.add_argument(
+        "--older-than-hours",
+        default="72",
+        help="only delete unreferenced dirs idle at least this long (in-flight-writer guard)",
+    )
     p = sub.add_parser("changes")
     p.add_argument("since_version")
     p = sub.add_parser("snapshot")
@@ -207,6 +232,7 @@ def main() -> None:
         "gold": cmd_gold,
         "partial-refresh": cmd_partial_refresh,
         "compact": cmd_compact,
+        "remove-orphans": cmd_remove_orphans,
         "changes": cmd_changes,
         "snapshot": cmd_snapshot,
     }

@@ -80,7 +80,11 @@ def test_compact_zorder_via_cli(spark, tmp_path, sf_tiny):
     )
     assert res["buckets"]
     table = LakeTable.load(_table_root(str(tmp_path)))
-    assert table.meta["clustering"] == {"kind": "zorder", "cols": ["n_tok", "source"]}
+    assert table.meta["clustering"] == {
+        "kind": "zorder",
+        "cols": ["n_tok", "source"],
+        "coding": "linear",
+    }
     # default path (no flag) must keep working and record the key sort
     cmd_compact(spark, _args(tmp_path, sf_tiny, watermark_lsn="0", zorder=None))
     table = LakeTable.load(_table_root(str(tmp_path)))

@@ -225,3 +225,45 @@ def test_load_version_missing_raises(replayed):
     table, _ = replayed
     with pytest.raises(ValueError, match="no snapshot"):
         LakeTable.load_version(table.root, 99)
+
+
+def test_remove_orphans_age_guard(spark, replayed):
+    """remove_orphans deletes only unreferenced dirs idle past the
+    threshold: a crashed attempt's old dir goes, an in-flight writer's
+    fresh dir stays, every referenced dir and snapshot survives."""
+    import os
+    import time
+
+    table, _ = replayed
+    data_dir = os.path.join(table.root, "data")
+
+    old_orphan = os.path.join(data_dir, "v99-deadbeef", "_bucket=0")
+    os.makedirs(old_orphan)
+    with open(os.path.join(old_orphan, "part-0.parquet"), "w") as f:
+        f.write("junk")
+    stale = time.time() - 10 * 3600
+    os.utime(os.path.join(old_orphan, "part-0.parquet"), (stale, stale))
+
+    fresh_orphan = os.path.join(data_dir, "v99-cafebabe", "_bucket=1")
+    os.makedirs(fresh_orphan)
+    with open(os.path.join(fresh_orphan, "part-0.parquet"), "w") as f:
+        f.write("inflight")
+
+    before_rows = table.read(spark).count()
+    res = table.remove_orphans(older_than_seconds=3600)
+    assert res["removed_dirs"] == [os.path.join("data", "v99-deadbeef", "_bucket=0")]
+    assert res["kept_recent"] == [os.path.join("data", "v99-cafebabe", "_bucket=1")]
+    assert not os.path.exists(old_orphan)
+    assert not os.path.exists(os.path.dirname(old_orphan))  # empty vdir pruned
+    assert os.path.exists(fresh_orphan)
+
+    # nothing referenced was touched: current read + every snapshot
+    table = LakeTable.load(table.root)
+    assert table.read(spark).count() == before_rows
+    for v in range(table.version + 1):
+        LakeTable.load_version(table.root, v).read(spark).count()
+
+    # the fresh orphan is reclaimed once it ages past the guard
+    res2 = table.remove_orphans(older_than_seconds=0)
+    assert res2["removed_dirs"] == [os.path.join("data", "v99-cafebabe", "_bucket=1")]
+    assert not os.path.exists(fresh_orphan)
