@@ -231,7 +231,9 @@ def apply_batch(
     # bucket dir for free. An unaligned config degrades to more files
     # per bucket, never to incorrect data.
     mark("plan_build")
-    merged.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+    merged.write.mode("overwrite").options(**table.writer_options()).partitionBy(
+        "_bucket"
+    ).parquet(out_dir)
     mark("merge_write")
 
     # map written bucket dirs; a changed bucket with all rows deleted

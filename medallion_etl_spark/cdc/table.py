@@ -103,7 +103,16 @@ class LakeTable:
         n_buckets: int = 16,
         schema_version: int = 1,
         key_col: str = "doc_id",
+        bloom_key_filter: bool = False,
     ) -> "LakeTable":
+        """``bloom_key_filter=True`` writes a parquet bloom filter on
+        the key column in every bucket file (merge, compact, rebucket
+        — all writers consult table metadata). Point lookups between
+        compactions hit arrival-ordered buckets where min/max stats
+        can't prune; the bloom skips row groups whose key set provably
+        misses. Opt-in: it costs write-side CPU and ~1 MB/row-group,
+        worth it for lookup-heavy tables only (the Delta bloom-filter
+        index analog, recorded in table metadata the same way)."""
         os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         meta = {
@@ -112,6 +121,7 @@ class LakeTable:
             "schema_version": schema_version,
             "n_buckets": n_buckets,
             "key_col": key_col,
+            "bloom_key_filter": bool(bloom_key_filter),
             "buckets": {},  # bucket_id(str) -> {"dir": rel, "schema_version": int}
             "committed_batches": {},  # batch_id(str) -> {lsn_lo, lsn_hi, rows_applied}
         }
@@ -181,6 +191,14 @@ class LakeTable:
 
     def schema(self) -> T.StructType:
         return DOCS_SCHEMAS[self.schema_version]
+
+    def writer_options(self) -> dict[str, str]:
+        """Parquet writer options every bucket-file writer (merge,
+        compact, rebucket) must apply — derived from table metadata so
+        layout features follow the table, not the code path."""
+        if self.meta.get("bloom_key_filter"):
+            return {f"parquet.bloom.filter.enabled#{self.key_col}": "true"}
+        return {}
 
     def is_committed(self, batch_id: int) -> bool:
         return str(batch_id) in self.meta["committed_batches"]
@@ -404,6 +422,7 @@ class LakeTable:
             keep.repartition(self.n_buckets, F.col("_bucket"))
             .sortWithinPartitions("_bucket", sort_col)
             .write.mode("overwrite")
+            .options(**self.writer_options())
             .partitionBy("_bucket")
             .parquet(out_dir)
         )
@@ -434,6 +453,70 @@ class LakeTable:
             },
         )
         return {"buckets": sorted(new_dirs), "buckets_dropped": sorted(removed)}
+
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> dict:
+        """Bucket-count evolution (the Iceberg partition-spec-evolution
+        analog): rewrite the table under a new murmur3 bucket count in
+        ONE shuffle job and one atomic commit. A bucket count chosen at
+        create time cannot fit a table that grows 100x — too few
+        buckets means huge per-bucket rewrites on every merge; this is
+        the escape hatch, run in a maintenance window like compaction.
+
+        Everything else is invariant: rows (tombstones included) are
+        carried byte-for-byte, LSNs don't change, the batch manifest
+        survives (so redelivered chunks stay no-ops), and the change
+        feed across the rebucket version is EMPTY — every bucket
+        pointer moves, but no row has an LSN above the previous
+        snapshot's watermark, which is exactly the "net change is
+        zero" a downstream consumer should see. Later merges, lookups
+        and feeds recompute bucket ids from the new count in metadata;
+        historical snapshots keep reading their own layout.
+
+        Scale shape: one full-table shuffle (unavoidable — every row
+        changes bucket), hash-aligned so the write stays one file per
+        bucket; rows are key-sorted within buckets on the way out (same
+        clustering contract as compact's default)."""
+        if new_n_buckets < 1:
+            raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+        if new_n_buckets == self.n_buckets:
+            raise ValueError(f"table already has {new_n_buckets} buckets")
+        keep = self.read(spark, raw=True).withColumn(
+            "_bucket", bucket_expr(self.key_col, new_n_buckets)
+        )
+        rel_dir = self.new_data_dir()
+        out_dir = os.path.join(self.root, rel_dir)
+        (
+            keep.repartition(new_n_buckets, F.col("_bucket"))
+            .sortWithinPartitions("_bucket", self.key_col)
+            .write.mode("overwrite")
+            .options(**self.writer_options())
+            .partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+        new_dirs: dict[int, str] = {}
+        for entry in os.listdir(out_dir):
+            if entry.startswith("_bucket="):
+                b = int(entry.split("=", 1)[1])
+                new_dirs[b] = os.path.join(rel_dir, entry)
+        removed = {int(b) for b in self.meta["buckets"]} - set(new_dirs)
+        old_n = self.n_buckets
+        self.commit(
+            new_dirs,
+            removed,
+            None,
+            bucket_row_counts={
+                b: count_dir_rows(os.path.join(self.root, rel)) for b, rel in new_dirs.items()
+            },
+            meta_updates={
+                "n_buckets": new_n_buckets,
+                "clustering": {"kind": "key", "cols": [self.key_col]},
+            },
+        )
+        return {
+            "old_n_buckets": old_n,
+            "new_n_buckets": new_n_buckets,
+            "buckets_written": sorted(new_dirs),
+        }
 
     def expire_snapshots(self, *, keep_last: int = 1) -> dict:
         """Storage reclamation (the Iceberg ``expire_snapshots`` /
@@ -502,6 +585,55 @@ class LakeTable:
             "expired_versions": sorted(expired_versions),
             "removed_dirs": removed_dirs,
         }
+
+    def history(self) -> list[dict]:
+        """Commit history from retained metadata versions (the Delta
+        ``DESCRIBE HISTORY`` analog): one record per snapshot, oldest
+        first, each with the batches that commit added, how many
+        bucket pointers moved, and the schema/clustering state. Pure
+        driver-side metadata reads — no Spark job, cost O(versions),
+        independent of table size."""
+        md_dir = os.path.join(self.root, "metadata")
+        versions = sorted(
+            int(n.removeprefix("version-").removesuffix(".json"))
+            for n in os.listdir(md_dir)
+            if n.startswith("version-") and n.endswith(".json")
+        )
+        out: list[dict] = []
+        prev_meta: dict | None = None
+        for v in versions:
+            with open(os.path.join(md_dir, f"version-{v}.json")) as f:
+                meta = json.load(f)
+            prev_batches = set((prev_meta or {}).get("committed_batches", {}))
+            prev_buckets = {
+                b: e["dir"] for b, e in (prev_meta or {}).get("buckets", {}).items()
+            }
+            new_batches = sorted(
+                int(b) for b in meta["committed_batches"] if b not in prev_batches
+            )
+            out.append(
+                {
+                    "version": v,
+                    "schema_version": int(meta.get("schema_version", 1)),
+                    "batches_added": new_batches,
+                    "max_committed_lsn": max(
+                        (int(r["lsn_hi"]) for r in meta["committed_batches"].values()),
+                        default=-1,
+                    ),
+                    "buckets_changed": sum(
+                        1
+                        for b, e in meta["buckets"].items()
+                        if prev_buckets.get(b) != e["dir"]
+                    )
+                    + sum(1 for b in prev_buckets if b not in meta["buckets"]),
+                    "clustering": meta.get("clustering"),
+                    "compaction_watermark_lsn": int(
+                        meta.get("compaction_watermark_lsn", -1)
+                    ),
+                }
+            )
+            prev_meta = meta
+        return out
 
     def remove_orphans(self, *, older_than_seconds: int = 3 * 86400) -> dict:
         """Reclaim data directories no metadata version references —

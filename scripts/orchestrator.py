@@ -14,6 +14,8 @@ orchestrator.py:480-509) as an LSN-range re-apply.
     python scripts/orchestrator.py remove-orphans [--older-than-hours H]
     python scripts/orchestrator.py changes <since_version>
     python scripts/orchestrator.py snapshot <version>
+    python scripts/orchestrator.py history
+    python scripts/orchestrator.py rebucket <n_buckets>
 
 Common flags: --sf-dir --out --parallelism. Each command prints one
 JSON report line (the analog of the reference's per-command logging).
@@ -173,6 +175,19 @@ def cmd_remove_orphans(spark, args) -> dict:
     return table.remove_orphans(older_than_seconds=int(float(args.older_than_hours) * 3600))
 
 
+def cmd_rebucket(spark, args) -> dict:
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    table = LakeTable.load(_table_root(args.out))
+    return table.rebucket(spark, int(args.n_buckets))
+
+
+def cmd_history(spark, args) -> dict:
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    return {"history": LakeTable.load(_table_root(args.out)).history()}
+
+
 def cmd_snapshot(spark, args) -> dict:
     from medallion_etl_spark.cdc.table import LakeTable
 
@@ -220,6 +235,9 @@ def main() -> None:
     p.add_argument("since_version")
     p = sub.add_parser("snapshot")
     p.add_argument("version")
+    sub.add_parser("history")
+    p = sub.add_parser("rebucket")
+    p.add_argument("n_buckets")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -235,6 +253,8 @@ def main() -> None:
         "remove-orphans": cmd_remove_orphans,
         "changes": cmd_changes,
         "snapshot": cmd_snapshot,
+        "history": cmd_history,
+        "rebucket": cmd_rebucket,
     }
     result = dispatch[args.layer](spark, args)
     print(json.dumps({"command": args.layer, "ok": True, "result": result}, default=str))

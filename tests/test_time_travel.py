@@ -267,3 +267,35 @@ def test_remove_orphans_age_guard(spark, replayed):
     res2 = table.remove_orphans(older_than_seconds=0)
     assert res2["removed_dirs"] == [os.path.join("data", "v99-cafebabe", "_bucket=1")]
     assert not os.path.exists(fresh_orphan)
+
+
+def test_history_lists_every_commit(spark, replayed):
+    """history() = one record per retained snapshot, oldest first:
+    the batches each commit added, moved bucket-pointer counts, and
+    schema/clustering state — all from metadata, no Spark job."""
+    table, _ = replayed
+    hist = table.history()
+    assert [h["version"] for h in hist] == [0, 1, 2, 3]
+    assert hist[0]["batches_added"] == [] and hist[0]["buckets_changed"] == 0
+    # each replay chunk commit adds exactly one batch and moves buckets
+    added = [h["batches_added"] for h in hist[1:]]
+    assert added == [[0], [1], [2]]
+    assert all(h["buckets_changed"] > 0 for h in hist[1:])
+    # watermarks are monotone and end at the table's current watermark
+    lsns = [h["max_committed_lsn"] for h in hist]
+    assert lsns == sorted(lsns) and lsns[-1] == table.max_committed_lsn()
+    # the synth stream evolves v1 -> v2 -> v3 mid-stream: history must
+    # show a non-decreasing schema_version ending at the current one
+    svs = [h["schema_version"] for h in hist]
+    assert svs == sorted(svs) and svs[-1] == table.schema_version
+
+    # a zorder compaction shows up with its clustering record
+    table.compact(spark, watermark_lsn=-1, zorder_by=["n_tok"], zorder_coding="quantile")
+    table = LakeTable.load(table.root)
+    hist = table.history()
+    assert hist[-1]["clustering"] == {
+        "kind": "zorder",
+        "cols": ["n_tok"],
+        "coding": "quantile",
+    }
+    assert hist[-1]["batches_added"] == []
