@@ -28,6 +28,14 @@ Three physical strategies, same semantics (property-tested equal):
 Ties are impossible by construction (LSNs unique); all strategies also
 break hypothetical ties identically (max_by on a struct with lsn first;
 window orders by lsn desc) so the result is deterministic either way.
+
+Measured (BENCH/skew.json, 8M events, 90% on ONE key, local[8],
+best-of-2): agg 8.3 s ≈ window 8.5 s, salted 13.3 s. The combiner
+makes ``agg`` skew-immune — throughput is flat from 20% to 90% hot —
+while salting pays a second full shuffle for protection the combiner
+already provides, which is why ``agg`` is the default and ``salted``
+is the escape hatch for combiner-less reductions (full-ordering
+window ops, collect-style aggregates).
 """
 
 from __future__ import annotations
