@@ -474,8 +474,10 @@ class LakeTable:
 
         Scale shape: one full-table shuffle (unavoidable — every row
         changes bucket), hash-aligned so the write stays one file per
-        bucket; rows are key-sorted within buckets on the way out (same
-        clustering contract as compact's default)."""
+        bucket; the recorded clustering spec is re-applied on the way
+        out (key sort by default, the Z-order spec if the last
+        compaction recorded one) — a layout the operator paid a
+        compaction for must not silently vanish in a rebucket."""
         if new_n_buckets < 1:
             raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
         if new_n_buckets == self.n_buckets:
@@ -483,11 +485,20 @@ class LakeTable:
         keep = self.read(spark, raw=True).withColumn(
             "_bucket", bucket_expr(self.key_col, new_n_buckets)
         )
+        clustering = self.meta.get("clustering") or {"kind": "key", "cols": [self.key_col]}
+        if clustering.get("kind") == "zorder":
+            from .zorder import zvalue_col
+
+            sort_col: F.Column | str = zvalue_col(
+                keep, clustering["cols"], coding=clustering.get("coding", "linear")
+            )
+        else:
+            sort_col = self.key_col
         rel_dir = self.new_data_dir()
         out_dir = os.path.join(self.root, rel_dir)
         (
             keep.repartition(new_n_buckets, F.col("_bucket"))
-            .sortWithinPartitions("_bucket", self.key_col)
+            .sortWithinPartitions("_bucket", sort_col)
             .write.mode("overwrite")
             .options(**self.writer_options())
             .partitionBy("_bucket")
@@ -509,7 +520,7 @@ class LakeTable:
             },
             meta_updates={
                 "n_buckets": new_n_buckets,
-                "clustering": {"kind": "key", "cols": [self.key_col]},
+                "clustering": clustering,
             },
         )
         return {

@@ -107,3 +107,20 @@ def test_rebucket_rejects_noop_and_bad_counts(spark, built):
         table.rebucket(spark, 4)
     with pytest.raises(ValueError, match=">= 1"):
         table.rebucket(spark, 0)
+
+
+def test_rebucket_preserves_zorder_clustering(spark, built):
+    """A layout paid for by a Z-order compaction survives a rebucket:
+    the spec is re-applied to the new buckets and stays in metadata."""
+    table, _ = built
+    table.compact(spark, watermark_lsn=-1, zorder_by=["n_tok"], zorder_coding="quantile")
+    table = LakeTable.load(table.root)
+    before = _raw_state(spark, table)
+    table.rebucket(spark, 8)
+    table = LakeTable.load(table.root)
+    assert table.meta["clustering"] == {
+        "kind": "zorder",
+        "cols": ["n_tok"],
+        "coding": "quantile",
+    }
+    assert _raw_state(spark, table) == before
