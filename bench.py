@@ -262,7 +262,7 @@ def main() -> None:
     from medallion_etl_spark.session import get_spark
 
     spark = get_spark("bench", parallelism=args.parallelism, extra_conf=_bench_conf())
-    queries = run_queries(spark, args.sf_dir)
+    queries = run_queries(spark, args.sf_dir, reps=args.reps)
     # 2 production-shaped chunks: per-chunk fixed costs (stats job,
     # commit) are amortized the way 10^8-event chunks would at scale.
     # Best-of-N reps for the replay leg only: it is the longest single
@@ -271,7 +271,7 @@ def main() -> None:
     # short and stable) — same best-of-interleaved protocol as
     # `--scaling`.
     cdc = min(
-        (run_cdc(spark, args.events, n_chunks=2) for _ in range(args.replay_reps)),
+        (run_cdc(spark, args.events, n_chunks=2) for _ in range(max(args.replay_reps, 1))),
         key=lambda r: r["wall_sec"],
     )
     queries["cdc_replay"] = cdc["wall_sec"]

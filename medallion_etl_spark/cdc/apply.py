@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from .dedup import dedup_latest
 from .evolve import aligned_cols
 from .lineage import write_lineage
-from .table import LakeTable, bucket_expr, count_dir_rows
+from .table import LakeTable, bucket_expr, dir_footer_stats
 
 
 def _dir_bytes(path: str) -> int:
@@ -263,14 +263,16 @@ def apply_batch(
     write_lineage(spark, table.root, batch_id, lineage_rows)
     mark("lineage")
 
+    fstats = {
+        b: dir_footer_stats(os.path.join(table.root, rel)) for b, rel in new_dirs.items()
+    }
     table.commit(
         new_dirs,
         removed,
         (batch_id, {"lsn_lo": lsn_lo, "lsn_hi": lsn_hi, "rows_applied": rows_applied}),
         schema_version=target_sv if target_sv != table.schema_version else None,
-        bucket_row_counts={
-            b: count_dir_rows(os.path.join(table.root, rel)) for b, rel in new_dirs.items()
-        },
+        bucket_row_counts={b: s[0] for b, s in fstats.items()},
+        bucket_max_lsns={b: s[1] for b, s in fstats.items()},
     )
     mark("commit")
     return {

@@ -30,12 +30,14 @@ break hypothetical ties identically (max_by on a struct with lsn first;
 window orders by lsn desc) so the result is deterministic either way.
 
 Measured (BENCH/skew.json, 8M events, 90% on ONE key, local[8],
-best-of-2): agg 8.3 s ≈ window 8.5 s, salted 13.3 s. The combiner
-makes ``agg`` skew-immune — throughput is flat from 20% to 90% hot —
-while salting pays a second full shuffle for protection the combiner
-already provides, which is why ``agg`` is the default and ``salted``
-is the escape hatch for combiner-less reductions (full-ordering
-window ops, collect-style aggregates).
+warm-up + best-of-2): window 7.4 s, agg 8.3 s, salted 11.1 s. The
+combiner makes ``agg`` skew-immune — its hot-key reducer sees
+O(n_partitions) rows at ANY skew, where window's single task grows
+linearly with the hot key (survivable at 8M, not at 10^10) — while
+salting pays a second full shuffle for protection the combiner
+already provides. Hence ``agg`` default, ``salted`` reserved for
+combiner-less reductions (full-ordering window ops, collect-style
+aggregates).
 """
 
 from __future__ import annotations

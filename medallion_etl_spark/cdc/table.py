@@ -68,14 +68,36 @@ def stored_schema(schema_version: int) -> T.StructType:
 def count_dir_rows(abs_dir: str) -> int:
     """Row count of a bucket dir from parquet footers (driver-side,
     no Spark job — footers only)."""
+    return dir_footer_stats(abs_dir)[0]
+
+
+def dir_footer_stats(abs_dir: str) -> tuple[int, int | None]:
+    """(row count, max ``_lsn``) of a bucket dir from parquet footers
+    (driver-side, no Spark job). The max LSN goes into the bucket's
+    commit metadata so change-feed planning can skip buckets whose
+    pointer moved without any row above the feed watermark — a
+    compaction or rebucket rewrites every bucket but adds no LSNs, and
+    without this stat a feed spanning one degrades to opening every
+    file for zero output rows."""
     import pyarrow.parquet as pq
 
-    total = 0
+    total, max_lsn = 0, None
     for dirpath, _dirs, files in os.walk(abs_dir):
         for fn in files:
-            if fn.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(dirpath, fn)).metadata.num_rows
-    return total
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
+            total += md.num_rows
+            try:
+                idx = md.schema.names.index("_lsn")
+            except ValueError:
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    v = int(st.max)
+                    max_lsn = v if max_lsn is None else max(max_lsn, v)
+    return total, max_lsn
 
 
 def bucket_expr(key_col: str, n_buckets: int) -> F.Column:
@@ -298,10 +320,17 @@ class LakeTable:
                 "allow_incomplete=True if missing deletes are acceptable."
             )
         old_dirs = {b: e["dir"] for b, e in old.meta["buckets"].items()}
+        # pointer-diff, then the max_lsn stat: a bucket rewritten by a
+        # compaction/rebucket moved its pointer but holds no row above
+        # the watermark, so its files provably contribute nothing —
+        # skipping keeps a feed spanning a full-table rewrite at ZERO
+        # data I/O instead of opening every file for zero rows. An
+        # entry without the stat (older commits) scans as before.
         changed = [
             int(b)
             for b, e in self.meta["buckets"].items()
             if old_dirs.get(b) != e["dir"]
+            and not (e.get("max_lsn") is not None and int(e["max_lsn"]) <= watermark)
         ]
         raw = self.read(spark, buckets=changed, raw=True)
         feed = (
@@ -326,7 +355,14 @@ class LakeTable:
         # theory — keys are declared non-null — but eqNullSafe keeps
         # the two sides consistent with the merge paths' convention.
         key = self.key_col
-        old_raw = old.read(spark, buckets=changed, raw=True)
+        # the changed-bucket ids are CURRENT-layout; they only address
+        # the OLD snapshot's files while the bucket count is unchanged.
+        # Across a rebucket the ids mean different hash ranges — a
+        # shrink would silently skip old buckets >= the new count and
+        # drop their preimages — so the old side falls back to a full
+        # read (every pointer moved in that span anyway)
+        old_buckets = changed if old.n_buckets == self.n_buckets else None
+        old_raw = old.read(spark, buckets=old_buckets, raw=True)
         old_live = old_raw.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(
             "_deleted"
         )
@@ -432,13 +468,15 @@ class LakeTable:
                 b = int(entry.split("=", 1)[1])
                 new_dirs[b] = os.path.join(rel_dir, entry)
         removed = {int(b) for b in self.meta["buckets"]} - set(new_dirs)
+        fstats = {
+            b: dir_footer_stats(os.path.join(self.root, rel)) for b, rel in new_dirs.items()
+        }
         self.commit(
             new_dirs,
             removed,
             None,
-            bucket_row_counts={
-                b: count_dir_rows(os.path.join(self.root, rel)) for b, rel in new_dirs.items()
-            },
+            bucket_row_counts={b: s[0] for b, s in fstats.items()},
+            bucket_max_lsns={b: s[1] for b, s in fstats.items()},
             meta_updates={
                 # the purge point, for the change feed's retention gate
                 "compaction_watermark_lsn": max(
@@ -468,9 +506,12 @@ class LakeTable:
         feed across the rebucket version is EMPTY — every bucket
         pointer moves, but no row has an LSN above the previous
         snapshot's watermark, which is exactly the "net change is
-        zero" a downstream consumer should see. Later merges, lookups
-        and feeds recompute bucket ids from the new count in metadata;
-        historical snapshots keep reading their own layout.
+        zero" a downstream consumer should see. The per-bucket
+        ``max_lsn`` commit stat keeps that feed METADATA-ONLY (zero
+        files opened), preserving the feed-cost invariant through a
+        full-table rewrite. Later merges, lookups and feeds recompute
+        bucket ids from the new count in metadata; historical
+        snapshots keep reading their own layout.
 
         Scale shape: one full-table shuffle (unavoidable — every row
         changes bucket), hash-aligned so the write stays one file per
@@ -511,13 +552,15 @@ class LakeTable:
                 new_dirs[b] = os.path.join(rel_dir, entry)
         removed = {int(b) for b in self.meta["buckets"]} - set(new_dirs)
         old_n = self.n_buckets
+        fstats = {
+            b: dir_footer_stats(os.path.join(self.root, rel)) for b, rel in new_dirs.items()
+        }
         self.commit(
             new_dirs,
             removed,
             None,
-            bucket_row_counts={
-                b: count_dir_rows(os.path.join(self.root, rel)) for b, rel in new_dirs.items()
-            },
+            bucket_row_counts={b: s[0] for b, s in fstats.items()},
+            bucket_max_lsns={b: s[1] for b, s in fstats.items()},
             meta_updates={
                 "n_buckets": new_n_buckets,
                 "clustering": clustering,
@@ -615,34 +658,43 @@ class LakeTable:
         for v in versions:
             with open(os.path.join(md_dir, f"version-{v}.json")) as f:
                 meta = json.load(f)
-            prev_batches = set((prev_meta or {}).get("committed_batches", {}))
-            prev_buckets = {
-                b: e["dir"] for b, e in (prev_meta or {}).get("buckets", {}).items()
+            # after expire_snapshots the oldest retained version has no
+            # predecessor on disk: its per-commit diff is UNKNOWABLE,
+            # not "everything ever" — report it as a baseline instead
+            # of fabricating a commit that added all history at once.
+            # Version 0 is the true creation, so its diff-vs-empty is
+            # real.
+            baseline = prev_meta is None and v > 0
+            record = {
+                "version": v,
+                "schema_version": int(meta.get("schema_version", 1)),
+                "baseline": baseline,
+                "max_committed_lsn": max(
+                    (int(r["lsn_hi"]) for r in meta["committed_batches"].values()),
+                    default=-1,
+                ),
+                "clustering": meta.get("clustering"),
+                "compaction_watermark_lsn": int(
+                    meta.get("compaction_watermark_lsn", -1)
+                ),
             }
-            new_batches = sorted(
-                int(b) for b in meta["committed_batches"] if b not in prev_batches
-            )
-            out.append(
-                {
-                    "version": v,
-                    "schema_version": int(meta.get("schema_version", 1)),
-                    "batches_added": new_batches,
-                    "max_committed_lsn": max(
-                        (int(r["lsn_hi"]) for r in meta["committed_batches"].values()),
-                        default=-1,
-                    ),
-                    "buckets_changed": sum(
-                        1
-                        for b, e in meta["buckets"].items()
-                        if prev_buckets.get(b) != e["dir"]
-                    )
-                    + sum(1 for b in prev_buckets if b not in meta["buckets"]),
-                    "clustering": meta.get("clustering"),
-                    "compaction_watermark_lsn": int(
-                        meta.get("compaction_watermark_lsn", -1)
-                    ),
+            if baseline:
+                record["batches_added"] = None
+                record["buckets_changed"] = None
+            else:
+                prev_batches = set((prev_meta or {}).get("committed_batches", {}))
+                prev_buckets = {
+                    b: e["dir"] for b, e in (prev_meta or {}).get("buckets", {}).items()
                 }
-            )
+                record["batches_added"] = sorted(
+                    int(b) for b in meta["committed_batches"] if b not in prev_batches
+                )
+                record["buckets_changed"] = sum(
+                    1
+                    for b, e in meta["buckets"].items()
+                    if prev_buckets.get(b) != e["dir"]
+                ) + sum(1 for b in prev_buckets if b not in meta["buckets"])
+            out.append(record)
             prev_meta = meta
         return out
 
@@ -760,6 +812,7 @@ class LakeTable:
         schema_version: int | None = None,
         bucket_row_counts: dict[int, int] | None = None,
         meta_updates: dict | None = None,
+        bucket_max_lsns: dict[int, int | None] | None = None,
     ) -> None:
         """Atomically publish: rewritten bucket pointers + manifest entry
         (+ optional schema evolution) in one metadata swap.
@@ -785,6 +838,7 @@ class LakeTable:
                     schema_version,
                     bucket_row_counts,
                     meta_updates,
+                    bucket_max_lsns,
                 )
             finally:
                 fcntl.flock(lock, fcntl.LOCK_UN)
@@ -797,6 +851,7 @@ class LakeTable:
         schema_version: int | None,
         bucket_row_counts: dict[int, int] | None,
         meta_updates: dict | None,
+        bucket_max_lsns: dict[int, int | None] | None = None,
     ) -> None:
         current = os.path.join(self.root, "metadata", "CURRENT")
         if os.path.exists(current):
@@ -823,6 +878,11 @@ class LakeTable:
             # is safer than a phantom 0 understating broadcast bounds
             if bucket_row_counts is not None and b in bucket_row_counts:
                 entry["rows"] = int(bucket_row_counts[b])
+            # highest _lsn stored in the bucket's files (parquet footer
+            # stat): lets feed planning skip a rewritten bucket with no
+            # rows above the feed watermark. Absent = unknown = scan.
+            if bucket_max_lsns is not None and bucket_max_lsns.get(b) is not None:
+                entry["max_lsn"] = int(bucket_max_lsns[b])
             meta["buckets"][str(b)] = entry
         if batch_record is not None:
             batch_id, rec = batch_record
@@ -836,10 +896,17 @@ class LakeTable:
     def _write_metadata(self, meta: dict) -> None:
         md_dir = os.path.join(self.root, "metadata")
         name = f"version-{meta['version']}.json"
-        with open(os.path.join(md_dir, name), "w") as f:
+        # the version document itself is published atomically (tmp +
+        # replace), not just CURRENT: concurrent metadata READERS that
+        # list version files (history, remove_orphans, expire) must
+        # never observe a half-written JSON — a commit is serialized
+        # against other commits by the flock, not against readers
+        vtmp = os.path.join(md_dir, f".{name}.tmp")
+        with open(vtmp, "w") as f:
             json.dump(meta, f, indent=1)
             f.flush()
             os.fsync(f.fileno())
+        os.replace(vtmp, os.path.join(md_dir, name))
         tmp = os.path.join(md_dir, "CURRENT.tmp")
         with open(tmp, "w") as f:
             f.write(name)

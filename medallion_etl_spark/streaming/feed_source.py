@@ -106,6 +106,9 @@ class LakeFeedStreamReader(DataSourceStreamReader):
                 "restart the stream from a fresh bootstrap"
             )
         old_dirs = {b: e["dir"] for b, e in old.meta["buckets"].items()}
+        # same max_lsn skip as read_changes: a bucket rewritten by
+        # compaction/rebucket moved its pointer without adding LSNs;
+        # its partition would emit zero rows, so don't plan it
         return [
             FeedPartition(
                 bucket_dir=os.path.join(self.root, e["dir"]),
@@ -115,6 +118,7 @@ class LakeFeedStreamReader(DataSourceStreamReader):
             )
             for b, e in new.meta["buckets"].items()
             if old_dirs.get(b) != e["dir"]
+            and not (e.get("max_lsn") is not None and int(e["max_lsn"]) <= watermark)
         ]
 
     # -- data (executor-side, Arrow batches) ----------------------------

@@ -58,6 +58,15 @@ def main() -> None:
         write_events_ordered(stream, ev_path, n_files=max(p, 8))
         events = spark.read.parquet(ev_path)
 
+        # untimed warm-up: the first replay on a fresh JVM pays
+        # whole-stage-codegen + classloading (measured 3.5-4.6x on
+        # rep 0 of every strategy before this existed); warm first so
+        # every timed rep is a usable sample
+        warm_root = os.path.join(tmp, "t_warm")
+        warm = LakeTable.create(warm_root, n_buckets=64, schema_version=1)
+        replay(spark, events, warm, chunk_size=n, dedup_strategy="agg", merge_path="agg")
+        shutil.rmtree(warm_root, ignore_errors=True)
+
         # interleaved reps, best-of — same protocol as bench --scaling
         reps = 2
         final_rows = None

@@ -124,3 +124,33 @@ def test_rebucket_preserves_zorder_clustering(spark, built):
         "coding": "quantile",
     }
     assert _raw_state(spark, table) == before
+
+
+def test_preimages_survive_a_shrinking_rebucket(spark, built):
+    """read_changes(include_preimage=True) across a SHRINK rebucket:
+    changed-bucket ids are new-layout, so the old-snapshot read must
+    not use them (old buckets >= the new count would be skipped and
+    their preimages silently dropped — wrong incremental gold)."""
+    table, events = built  # 4 buckets
+    v_before = table.version
+
+    table.rebucket(spark, 2)  # shrink: old ids {0..3}, new ids {0,1}
+    table = LakeTable.load(table.root)
+    table = _apply(spark, table, events, 1, 2_000, 3_999)
+
+    old_live = {
+        r["doc_id"]: r["n_tok"]
+        for r in LakeTable.load_version(table.root, v_before).read(spark).collect()
+    }
+    rows = table.read_changes(
+        spark, since_version=v_before, include_preimage=True
+    ).collect()
+    post_keys = {
+        r["doc_id"] for r in rows if r["_change_type"] in ("upsert", "delete")
+    }
+    pre = {r["doc_id"]: r["n_tok"] for r in rows if r["_change_type"] == "update_preimage"}
+    want_pre_keys = {k for k in post_keys if k in old_live}
+    assert want_pre_keys, "test needs at least one updated pre-existing key"
+    assert set(pre) == want_pre_keys
+    # preimage payloads are the OLD snapshot's values
+    assert all(pre[k] == old_live[k] for k in pre)

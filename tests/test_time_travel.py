@@ -299,3 +299,37 @@ def test_history_lists_every_commit(spark, replayed):
         "coding": "quantile",
     }
     assert hist[-1]["batches_added"] == []
+
+
+def test_feed_is_metadata_pruned_across_compaction_and_rebucket(spark, replayed):
+    """A compaction or rebucket moves every bucket pointer without
+    adding LSNs; the per-bucket max_lsn stat must let read_changes
+    answer from METADATA (zero files opened), not a full scan."""
+    table, _ = replayed
+    v = table.version
+    table.compact(spark, watermark_lsn=-1)
+    table = LakeTable.load(table.root)
+    feed = table.read_changes(spark, since_version=v)
+    assert feed.count() == 0
+    assert feed.inputFiles() == []
+
+    v = table.version
+    table.rebucket(spark, 16)
+    table = LakeTable.load(table.root)
+    feed = table.read_changes(spark, since_version=v)
+    assert feed.count() == 0
+    assert feed.inputFiles() == []
+
+
+def test_history_marks_post_expiry_baseline(spark, replayed):
+    """After snapshot expiry the oldest retained version has no
+    predecessor: history() must report it as a baseline (diff
+    unknowable), never as a commit that added all prior batches."""
+    table, _ = replayed
+    table.expire_snapshots(keep_last=2)
+    hist = LakeTable.load(table.root).history()
+    assert [h["version"] for h in hist] == [2, 3]
+    assert hist[0]["baseline"] is True
+    assert hist[0]["batches_added"] is None and hist[0]["buckets_changed"] is None
+    assert hist[1]["baseline"] is False
+    assert hist[1]["batches_added"] == [2]
