@@ -279,13 +279,17 @@ class LakeTable:
         spark: SparkSession,
         since_version: int,
         *,
+        until_version: int | None = None,
         include_preimage: bool = False,
         allow_incomplete: bool = False,
     ) -> DataFrame:
         """Incremental change feed: net row-level changes between the
-        ``since_version`` snapshot and this one (the Delta CDF /
-        Iceberg incremental-read analog, built from what the format
-        already stores — no extra change log is written).
+        ``since_version`` snapshot and this one — or the
+        ``until_version`` snapshot when given (the Delta CDF
+        startingVersion/endingVersion pair; a bounded span is just the
+        ``until`` snapshot's own feed, so this delegates to time
+        travel). Built from what the format already stores — no extra
+        change log is written.
 
         Returns payload columns plus ``_lsn`` and ``_change_type``
         ('upsert' | 'delete'). Because the table is LWW-merged, the
@@ -308,6 +312,17 @@ class LakeTable:
         ``allow_incomplete=True`` to read anyway (upserts are always
         complete; only tombstones can be missing).
         """
+        if until_version is not None:
+            if until_version < since_version:
+                raise ValueError(
+                    f"until_version {until_version} < since_version {since_version}"
+                )
+            return LakeTable.load_version(self.root, until_version).read_changes(
+                spark,
+                since_version,
+                include_preimage=include_preimage,
+                allow_incomplete=allow_incomplete,
+            )
         old = LakeTable.load_version(self.root, since_version)
         watermark = old.max_committed_lsn()
         purge_lsn = int(self.meta.get("compaction_watermark_lsn", -1))

@@ -333,3 +333,22 @@ def test_history_marks_post_expiry_baseline(spark, replayed):
     assert hist[0]["batches_added"] is None and hist[0]["buckets_changed"] is None
     assert hist[1]["baseline"] is False
     assert hist[1]["batches_added"] == [2]
+
+
+def test_bounded_change_feed_until_version(spark, replayed):
+    """Delta-CDF startingVersion/endingVersion pair: a bounded span is
+    the until-snapshot's own feed, complete even if LATER compactions
+    purged tombstones (COW files of retained versions are immutable)."""
+    table, _ = replayed
+    wm1 = LakeTable.load_version(table.root, 1).max_committed_lsn()
+    wm2 = LakeTable.load_version(table.root, 2).max_committed_lsn()
+    rows = table.read_changes(spark, since_version=1, until_version=2).collect()
+    assert rows and all(wm1 < r["_lsn"] <= wm2 for r in rows)
+    want = LakeTable.load_version(table.root, 2).read_changes(spark, 1).collect()
+    assert sorted((r["doc_id"], r["_lsn"], r["_change_type"]) for r in rows) == sorted(
+        (r["doc_id"], r["_lsn"], r["_change_type"]) for r in want
+    )
+    # until == since -> empty; inverted span -> error
+    assert table.read_changes(spark, since_version=2, until_version=2).count() == 0
+    with pytest.raises(ValueError, match="until_version"):
+        table.read_changes(spark, since_version=2, until_version=1)
