@@ -65,6 +65,8 @@ def apply_batch(
     merge_path: str = "auto",
     broadcast_limit_bytes: int = 256 << 20,
     precomputed_stats: list[dict] | None = None,
+    write_mode: str = "cow",
+    mor_max_deltas: int = 8,
 ) -> dict:
     """Apply one LSN-chunk of change events. Idempotent: an already
     committed batch_id is a no-op; a crash before commit leaves the
@@ -78,6 +80,19 @@ def apply_batch(
     ``broadcast_limit_bytes`` (default 256 MiB) — a byte bound, since
     what actually lands on the driver and every executor is a hash
     relation, not a row count.
+
+    ``write_mode``: 'cow' (default) rewrites every touched bucket —
+    write cost O(|batch| + |touched buckets|), reads stay merge-free.
+    'mor' (merge-on-read, the Iceberg MOR analog) LWW-dedups the chunk
+    alone and APPENDS one delta dir per touched bucket — write cost
+    O(|batch|) regardless of bucket size, and readers fold base ∪
+    deltas per key until the next compaction/COW apply rewrites the
+    bucket (which drops its deltas). 'auto' picks 'mor' when the chunk
+    is small against its touched base (< 1/4 of stored rows, known
+    from metadata) AND no touched bucket would exceed
+    ``mor_max_deltas`` stacked deltas — the cap bounds read
+    amplification by forcing a folding COW apply, the self-regulating
+    equivalent of Iceberg's delete-file compaction trigger.
     """
     timings: dict[str, float] = {}
     t_last = time.perf_counter()
@@ -153,13 +168,45 @@ def apply_batch(
             deleted_col.alias("_deleted"),
         )
 
+    chunk_rows = to_storage_layout(chunk, F.col("lsn"), F.col("op") == "D")
+
+    mode = write_mode
+    if mode == "auto":
+        base_rows = table.bucket_rows(changed)
+        total_events = sum(int(r["rows_applied"]) for r in stats)
+        stacked = max(
+            (
+                len(table.meta["buckets"].get(str(b), {}).get("deltas", []))
+                for b in changed
+            ),
+            default=0,
+        )
+        mode = (
+            "mor"
+            if base_rows is not None
+            and total_events * 4 < base_rows
+            and stacked < mor_max_deltas
+            else "cow"
+        )
+    if mode == "mor":
+        return _apply_mor(
+            spark, table, chunk_rows, stats, batch_id, lsn_lo, lsn_hi,
+            target_sv=target_sv, dedup_strategy=dedup_strategy,
+            n_salts=n_salts, timings=timings, mark=mark,
+        )
+    if mode != "cow":
+        raise ValueError(f"unknown write_mode: {write_mode!r}")
+
     # FUSED dedup + merge: the chunk's own LWW dedup and the merge
     # against base are the same reduction (max LSN per key), run ONCE
     # over base ∪ raw-chunk. `_ord = _lsn*2 (+1 for chunk rows)` makes
     # the order key unique even when a redelivered event already sits
     # in the table (identical content; chunk side wins the tie).
-    chunk_rows = to_storage_layout(chunk, F.col("lsn"), F.col("op") == "D")
-    base = table.read(spark, buckets=changed, raw=True)
+    # merge_deltas=False: any MOR delta rows join the union raw — this
+    # reduction IS the fold, so a separate read-side merge shuffle
+    # would be pure waste (same-LSN stored copies are identical rows;
+    # dropDuplicates / max_by collapse them).
+    base = table.read(spark, buckets=changed, raw=True, merge_deltas=False)
     base_aligned = to_storage_layout(base, F.col("_lsn"), F.col("_deleted"))
     combined = base_aligned.withColumn("_ord", F.col("_lsn") * 2).unionByName(
         chunk_rows.withColumn("_ord", F.col("_lsn") * 2 + 1)
@@ -279,5 +326,103 @@ def apply_batch(
         "batch_id": batch_id,
         "rows_applied": rows_applied,
         "buckets": changed,
+        "timings": timings,
+    }
+
+
+def _apply_mor(
+    spark: SparkSession,
+    table: LakeTable,
+    chunk_rows: DataFrame,
+    stats: list[dict],
+    batch_id: int,
+    lsn_lo: int,
+    lsn_hi: int,
+    *,
+    target_sv: int,
+    dedup_strategy: str,
+    n_salts: int,
+    timings: dict,
+    mark,
+) -> dict:
+    """Merge-on-read apply: LWW-dedup the chunk ALONE (one reduction
+    over |chunk| rows — the base is never read) and append the result
+    as one delta dir per touched bucket. The read path folds deltas
+    per key (table.read / _merge_sources); compaction or any later COW
+    apply rewrites the bucket and drops its deltas.
+
+    Write cost is O(|chunk|) independent of bucket size — at 10^10
+    events with small micro-batches over large buckets this removes
+    the dominant write-amplification term (COW rewrites each touched
+    bucket fully per batch). Tombstones are appended like any row, so
+    delete semantics and out-of-order convergence are unchanged: the
+    read-side winner rule is the same max-LSN-per-key the COW merge
+    applies at write time."""
+    key = table.key_col
+    changed = sorted(int(r["_bucket"]) for r in stats)
+    deduped = dedup_latest(
+        chunk_rows, keys=(key,), order_col="_lsn", strategy=dedup_strategy, n_salts=n_salts
+    ).withColumn("_bucket", bucket_expr(key, table.n_buckets))
+
+    rel_dir = table.new_data_dir()
+    out_dir = os.path.join(table.root, rel_dir)
+    mark("plan_build")
+    # the dedup shuffled on the key and bucket_expr is Spark's own
+    # hash-partitioning function, so each bucket is already contained
+    # in one task -> one delta file per bucket dir (same alignment the
+    # COW write exploits)
+    deduped.write.mode("overwrite").options(**table.writer_options()).partitionBy(
+        "_bucket"
+    ).parquet(out_dir)
+    mark("merge_write")
+
+    new_dirs: dict[int, str] = {}
+    for entry in os.listdir(out_dir):
+        if entry.startswith("_bucket="):
+            b = int(entry.split("=", 1)[1])
+            new_dirs[b] = os.path.join(rel_dir, entry)
+
+    rows_applied = sum(int(r["rows_applied"]) for r in stats)
+    lineage_rows = [
+        {
+            "batch_id": batch_id,
+            "partition_id": int(r["_bucket"]),
+            "lsn_lo": int(r["lsn_lo"]),
+            "lsn_hi": int(r["lsn_hi"]),
+            "rows_applied": int(r["rows_applied"]),
+            "bytes_written": _dir_bytes(os.path.join(table.root, new_dirs[int(r["_bucket"])]))
+            if int(r["_bucket"]) in new_dirs
+            else 0,
+        }
+        for r in stats
+    ]
+    mark("footer_stats")
+    write_lineage(spark, table.root, batch_id, lineage_rows)
+    mark("lineage")
+
+    fstats = {
+        b: dir_footer_stats(os.path.join(table.root, rel)) for b, rel in new_dirs.items()
+    }
+    table.commit(
+        {},
+        set(),
+        (batch_id, {"lsn_lo": lsn_lo, "lsn_hi": lsn_hi, "rows_applied": rows_applied}),
+        schema_version=target_sv if target_sv != table.schema_version else None,
+        delta_appends={
+            b: {
+                "dir": rel,
+                "schema_version": target_sv,
+                "rows": fstats[b][0],
+                "max_lsn": fstats[b][1],
+            }
+            for b, rel in new_dirs.items()
+        },
+    )
+    mark("commit")
+    return {
+        "batch_id": batch_id,
+        "rows_applied": rows_applied,
+        "buckets": changed,
+        "write_mode": "mor",
         "timings": timings,
     }

@@ -37,6 +37,8 @@ def replay(
     dedup_strategy: str = "salted",
     n_salts: int = 16,
     merge_path: str = "auto",
+    write_mode: str = "cow",
+    mor_max_deltas: int = 8,
     max_batches: int | None = None,
 ) -> dict:
     """Replay all not-yet-committed LSN chunks of ``events`` into
@@ -115,6 +117,8 @@ def replay(
                     dedup_strategy=dedup_strategy,
                     n_salts=n_salts,
                     merge_path=merge_path,
+                    write_mode=write_mode,
+                    mor_max_deltas=mor_max_deltas,
                     precomputed_stats=stats_by_chunk.get(batch_id, []),
                 )
                 break

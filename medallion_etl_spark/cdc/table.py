@@ -100,6 +100,55 @@ def dir_footer_stats(abs_dir: str) -> tuple[int, int | None]:
     return total, max_lsn
 
 
+def entry_sources(entry: dict) -> list[dict]:
+    """Physical sources of one bucket entry, base first then merge-on-
+    read deltas in append order. Each source: ``dir`` /
+    ``schema_version`` / optional ``rows`` / ``max_lsn`` footer stats,
+    plus ``didx`` — the append ordinal (0 = base) read-side LWW uses
+    to break exact-LSN ties toward the newest write, mirroring the
+    copy-on-write merge's chunk-wins-tie rule."""
+    out = [
+        {
+            "dir": entry["dir"],
+            "schema_version": int(entry["schema_version"]),
+            "rows": entry.get("rows"),
+            "max_lsn": entry.get("max_lsn"),
+            "didx": 0,
+        }
+    ]
+    for i, d in enumerate(entry.get("deltas", []), start=1):
+        out.append(
+            {
+                "dir": d["dir"],
+                "schema_version": int(d["schema_version"]),
+                "rows": d.get("rows"),
+                "max_lsn": d.get("max_lsn"),
+                "didx": i,
+            }
+        )
+    return out
+
+
+def entry_signature(entry: dict) -> tuple:
+    """Identity of a bucket's physical layout (base dir + delta dirs,
+    in order) — what change-feed planning diffs. A delta append moves
+    the signature without moving the base pointer."""
+    return (entry["dir"], tuple(d["dir"] for d in entry.get("deltas", [])))
+
+
+def entry_max_lsn(entry: dict) -> int | None:
+    """Highest ``_lsn`` stored anywhere in the bucket (base + deltas),
+    None when any source lacks the footer stat (unknown must mean
+    'scan', never 'skip')."""
+    best: int | None = None
+    for s in entry_sources(entry):
+        if s["max_lsn"] is None:
+            return None
+        v = int(s["max_lsn"])
+        best = v if best is None else max(best, v)
+    return best
+
+
 def bucket_expr(key_col: str, n_buckets: int) -> F.Column:
     """Bucket id = pmod(murmur3(key), n_buckets) — deliberately THE
     SAME function Spark's HashPartitioning uses, so any frame that was
@@ -237,7 +286,13 @@ class LakeTable:
     # ---- read ------------------------------------------------------------
 
     def read(
-        self, spark: SparkSession, buckets: list[int] | None = None, raw: bool = False
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        raw: bool = False,
+        *,
+        merge_deltas: bool = True,
+        min_lsn_exclusive: int | None = None,
     ) -> DataFrame:
         """Current snapshot, optionally pruned to the given buckets.
 
@@ -249,30 +304,91 @@ class LakeTable:
         ``raw=True`` keeps tombstone rows and the ``_lsn``/``_deleted``
         bookkeeping columns (the merge path needs them); the default
         read is the clean user-facing table.
+
+        Merge-on-read: buckets carry append-only delta dirs when the
+        writer chose the MOR path (apply.py ``write_mode='mor'``); the
+        read LWW-merges base ∪ deltas to one row per key — winner =
+        max ``(_lsn, append ordinal)``. A pure-COW table takes the
+        exact pre-MOR plan (no extra columns, no merge node).
+        ``merge_deltas=False`` returns the raw union instead — for the
+        merge apply, whose own max-LSN reduction folds the deltas in
+        the same shuffle that merges the chunk (one reduction, not
+        two).
+
+        ``min_lsn_exclusive``: drop rows at or below this LSN *before*
+        the merge — sources whose footer ``max_lsn`` proves them empty
+        are skipped entirely (zero I/O) and survivors get a scan-level
+        ``_lsn >`` filter (parquet row-group pruning). Winner-exact for
+        change feeds: the LWW winner survives the pre-filter iff its
+        LSN qualifies, so filter-then-merge ≡ merge-then-filter. NOT
+        equivalent for plain state reads (a key whose winner is below
+        the bound would resurrect an older row) — feed/maintenance use
+        only.
         """
         wanted = set(buckets) if buckets is not None else None
-        by_sv: dict[int, list[str]] = {}
+        # (schema_version, didx) -> dirs; didx must ride along so the
+        # merge can break exact-LSN ties toward the newest append
+        groups: dict[tuple[int, int], list[str]] = {}
+        any_deltas = False
         for b_str, entry in self.meta["buckets"].items():
             if wanted is not None and int(b_str) not in wanted:
                 continue
-            by_sv.setdefault(entry["schema_version"], []).append(
-                os.path.join(self.root, entry["dir"])
-            )
+            srcs = entry_sources(entry)
+            if len(srcs) > 1:
+                any_deltas = True
+            for s in srcs:
+                if (
+                    min_lsn_exclusive is not None
+                    and s["max_lsn"] is not None
+                    and int(s["max_lsn"]) <= min_lsn_exclusive
+                ):
+                    continue  # footer stat proves no qualifying rows
+                groups.setdefault((s["schema_version"], s["didx"]), []).append(
+                    os.path.join(self.root, s["dir"])
+                )
         target_sv = self.schema_version
+        need_merge = any_deltas and merge_deltas
         parts: list[DataFrame] = []
-        for sv, dirs in by_sv.items():
+        for (sv, didx), dirs in sorted(groups.items()):
             df = spark.read.schema(stored_schema(sv)).parquet(*dirs)
+            if min_lsn_exclusive is not None:
+                df = df.filter(F.col("_lsn") > F.lit(min_lsn_exclusive))
             have = {f.name for f in DOCS_SCHEMAS[sv].fields}
-            parts.append(df.select(*aligned_cols(have, target_sv), *INTERNAL_COLS))
+            df = df.select(*aligned_cols(have, target_sv), *INTERNAL_COLS)
+            if need_merge:
+                df = df.withColumn("_didx", F.lit(didx))
+            parts.append(df)
         if not parts:
             out = spark.createDataFrame([], stored_schema(target_sv))
         else:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
+            if need_merge:
+                out = self._merge_sources(out)
         if raw:
             return out
         return out.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(*INTERNAL_COLS)
+
+    def _merge_sources(self, df: DataFrame) -> DataFrame:
+        """Read-side LWW merge of base + delta rows to one row per key:
+        winner = max ``(_lsn, _didx)``. Same-LSN ties are redelivered
+        copies of one event (identical rows); ``_didx`` resolves them
+        toward the newest append, mirroring the COW merge's
+        chunk-wins-tie convention. ``max_by(struct)`` keeps the
+        map-side partial aggregate (skew-immune, see dedup.py)."""
+        key = self.key_col
+        cols = [c for c in df.columns if c != "_didx"]
+        payload = [c for c in cols if c != key]
+        winner = df.groupBy(key).agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in payload]),
+                F.struct(F.col("_lsn"), F.col("_didx")),
+            ).alias("_latest")
+        )
+        return winner.select(
+            *[F.col(c) if c == key else F.col(f"_latest.{c}").alias(c) for c in cols]
+        )
 
     def read_changes(
         self,
@@ -334,20 +450,29 @@ class LakeTable:
                 "gone. Re-bootstrap from the current snapshot, or pass "
                 "allow_incomplete=True if missing deletes are acceptable."
             )
-        old_dirs = {b: e["dir"] for b, e in old.meta["buckets"].items()}
-        # pointer-diff, then the max_lsn stat: a bucket rewritten by a
-        # compaction/rebucket moved its pointer but holds no row above
-        # the watermark, so its files provably contribute nothing —
-        # skipping keeps a feed spanning a full-table rewrite at ZERO
-        # data I/O instead of opening every file for zero rows. An
-        # entry without the stat (older commits) scans as before.
-        changed = [
-            int(b)
-            for b, e in self.meta["buckets"].items()
-            if old_dirs.get(b) != e["dir"]
-            and not (e.get("max_lsn") is not None and int(e["max_lsn"]) <= watermark)
-        ]
-        raw = self.read(spark, buckets=changed, raw=True)
+        # layout-diff (base dir + delta list — a MOR delta append moves
+        # the signature without moving the base pointer), then the
+        # max_lsn stat: a bucket rewritten by a compaction/rebucket
+        # moved its pointer but holds no row above the watermark, so
+        # its files provably contribute nothing — skipping keeps a feed
+        # spanning a full-table rewrite at ZERO data I/O instead of
+        # opening every file for zero rows. An entry without the stat
+        # (older commits) scans as before.
+        old_sigs = {b: entry_signature(e) for b, e in old.meta["buckets"].items()}
+        changed = []
+        for b, e in self.meta["buckets"].items():
+            if old_sigs.get(b) == entry_signature(e):
+                continue
+            m = entry_max_lsn(e)
+            if m is not None and m <= watermark:
+                continue
+            changed.append(int(b))
+        # the watermark is pushed into the read: per-source footer
+        # stats skip whole dirs (a delta-append span reads ONLY the
+        # appended delta files, never the base), and the scan-level
+        # filter prunes row groups before the MOR merge — winner-exact,
+        # see read()
+        raw = self.read(spark, buckets=changed, raw=True, min_lsn_exclusive=watermark)
         feed = (
             raw.filter(F.col("_lsn") > F.lit(watermark))
             .withColumn(
@@ -621,7 +746,8 @@ class LakeTable:
             with open(os.path.join(md_dir, f"version-{v}.json")) as f:
                 meta = json.load(f)
             for entry in meta["buckets"].values():
-                referenced.add(os.path.normpath(entry["dir"]))
+                for s in entry_sources(entry):  # base + MOR delta dirs
+                    referenced.add(os.path.normpath(s["dir"]))
 
         # a dir is deletable only if NO retained version references it
         # (referenced paths are bucket dirs like data/vN/_bucket=K; a
@@ -699,7 +825,8 @@ class LakeTable:
             else:
                 prev_batches = set((prev_meta or {}).get("committed_batches", {}))
                 prev_buckets = {
-                    b: e["dir"] for b, e in (prev_meta or {}).get("buckets", {}).items()
+                    b: entry_signature(e)
+                    for b, e in (prev_meta or {}).get("buckets", {}).items()
                 }
                 record["batches_added"] = sorted(
                     int(b) for b in meta["committed_batches"] if b not in prev_batches
@@ -707,7 +834,7 @@ class LakeTable:
                 record["buckets_changed"] = sum(
                     1
                     for b, e in meta["buckets"].items()
-                    if prev_buckets.get(b) != e["dir"]
+                    if prev_buckets.get(b) != entry_signature(e)
                 ) + sum(1 for b in prev_buckets if b not in meta["buckets"])
             out.append(record)
             prev_meta = meta
@@ -739,7 +866,8 @@ class LakeTable:
             with open(os.path.join(md_dir, name)) as f:
                 meta = json.load(f)
             for entry in meta["buckets"].values():
-                referenced.add(os.path.normpath(entry["dir"]))
+                for s in entry_sources(entry):  # base + MOR delta dirs
+                    referenced.add(os.path.normpath(s["dir"]))
 
         referenced_vdirs = {os.path.dirname(rel) for rel in referenced}
         cutoff = time.time() - older_than_seconds
@@ -808,15 +936,19 @@ class LakeTable:
         from commit-time footer counts — lets the merge's 'auto' path
         bound the broadcast by |base keys| without a counting job.
 
-        Returns ``None`` if ANY requested bucket lacks a stored count:
+        Returns ``None`` if ANY requested source lacks a stored count:
         an unknown size must be treated as unbounded by callers (force
-        the shuffle path), never understated as 0."""
+        the shuffle path), never understated as 0. Delta rows are
+        counted on top of base rows — an overcount when a key appears
+        in both, which only ever makes the broadcast bound more
+        conservative."""
         total = 0
         for b_str, entry in self.meta["buckets"].items():
             if buckets is None or int(b_str) in buckets:
-                if "rows" not in entry:
-                    return None
-                total += int(entry["rows"])
+                for s in entry_sources(entry):
+                    if s["rows"] is None:
+                        return None
+                    total += int(s["rows"])
         return total
 
     def commit(
@@ -828,9 +960,17 @@ class LakeTable:
         bucket_row_counts: dict[int, int] | None = None,
         meta_updates: dict | None = None,
         bucket_max_lsns: dict[int, int | None] | None = None,
+        delta_appends: dict[int, dict] | None = None,
     ) -> None:
         """Atomically publish: rewritten bucket pointers + manifest entry
         (+ optional schema evolution) in one metadata swap.
+
+        ``delta_appends``: merge-on-read commits — per bucket, a source
+        record ``{dir, schema_version, rows?, max_lsn?}`` APPENDED to
+        the entry's delta list instead of replacing its base pointer.
+        A delta landing on a bucket with no entry yet simply becomes
+        the base (appending to nothing IS the base), so ``e["dir"]``
+        stays total for every reader.
 
         Optimistic concurrency: the head re-check and the pointer swap
         happen under an exclusive ``flock`` on ``metadata/COMMIT_LOCK``,
@@ -854,6 +994,7 @@ class LakeTable:
                     bucket_row_counts,
                     meta_updates,
                     bucket_max_lsns,
+                    delta_appends,
                 )
             finally:
                 fcntl.flock(lock, fcntl.LOCK_UN)
@@ -867,6 +1008,7 @@ class LakeTable:
         bucket_row_counts: dict[int, int] | None,
         meta_updates: dict | None,
         bucket_max_lsns: dict[int, int | None] | None = None,
+        delta_appends: dict[int, dict] | None = None,
     ) -> None:
         current = os.path.join(self.root, "metadata", "CURRENT")
         if os.path.exists(current):
@@ -899,6 +1041,17 @@ class LakeTable:
             if bucket_max_lsns is not None and bucket_max_lsns.get(b) is not None:
                 entry["max_lsn"] = int(bucket_max_lsns[b])
             meta["buckets"][str(b)] = entry
+        for b, d in (delta_appends or {}).items():
+            src = {"dir": d["dir"], "schema_version": int(d["schema_version"])}
+            if d.get("rows") is not None:
+                src["rows"] = int(d["rows"])
+            if d.get("max_lsn") is not None:
+                src["max_lsn"] = int(d["max_lsn"])
+            cur = meta["buckets"].get(str(b))
+            if cur is None:  # first write to this bucket: the delta IS the base
+                meta["buckets"][str(b)] = src
+            else:
+                cur.setdefault("deltas", []).append(src)
         if batch_record is not None:
             batch_id, rec = batch_record
             meta["committed_batches"][str(batch_id)] = rec

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 
-from ..cdc.table import LakeTable, stored_schema
+from ..cdc.table import LakeTable, entry_max_lsn, entry_signature, entry_sources, stored_schema
 
 FORMAT_NAME = "lake_feed"
 
@@ -62,8 +62,14 @@ def feed_schema(schema_version: int) -> T.StructType:
 
 @dataclasses.dataclass
 class FeedPartition(InputPartition):
-    bucket_dir: str  # absolute path of the bucket's data dir
-    dir_schema_version: int  # schema its files were written with
+    # (abs dir, schema_version) of every qualifying source of ONE
+    # bucket — base first, then merge-on-read deltas in append order.
+    # Sources whose footer max_lsn proves them at/below the watermark
+    # are pruned at planning time (a MOR delta-append span reads ONLY
+    # the appended delta files). One bucket = one partition, so the
+    # cross-delta LWW dedup in read() is complete without a shuffle.
+    sources: list[tuple[str, int]]
+    key_col: str
     target_schema_version: int  # schema the query surfaces
     watermark_lsn: int  # emit only rows with _lsn strictly above
 
@@ -105,21 +111,35 @@ class LakeFeedStreamReader(DataSourceStreamReader):
                 f"predates a compaction purge up to LSN {purge_lsn}; "
                 "restart the stream from a fresh bootstrap"
             )
-        old_dirs = {b: e["dir"] for b, e in old.meta["buckets"].items()}
-        # same max_lsn skip as read_changes: a bucket rewritten by
-        # compaction/rebucket moved its pointer without adding LSNs;
-        # its partition would emit zero rows, so don't plan it
-        return [
-            FeedPartition(
-                bucket_dir=os.path.join(self.root, e["dir"]),
-                dir_schema_version=int(e["schema_version"]),
-                target_schema_version=self.target_sv,
-                watermark_lsn=watermark,
-            )
-            for b, e in new.meta["buckets"].items()
-            if old_dirs.get(b) != e["dir"]
-            and not (e.get("max_lsn") is not None and int(e["max_lsn"]) <= watermark)
-        ]
+        old_sigs = {b: entry_signature(e) for b, e in old.meta["buckets"].items()}
+        key_col = new.meta["key_col"]
+        # same layout-diff + max_lsn skip as read_changes: a bucket
+        # rewritten by compaction/rebucket moved its pointer without
+        # adding LSNs, so its partition would emit zero rows — don't
+        # plan it; within a planned bucket, individual sources proven
+        # at/below the watermark by their footer stat are pruned too
+        out: list[FeedPartition] = []
+        for b, e in new.meta["buckets"].items():
+            if old_sigs.get(b) == entry_signature(e):
+                continue
+            m = entry_max_lsn(e)
+            if m is not None and m <= watermark:
+                continue
+            sources = [
+                (os.path.join(self.root, s["dir"]), s["schema_version"])
+                for s in entry_sources(e)
+                if not (s["max_lsn"] is not None and int(s["max_lsn"]) <= watermark)
+            ]
+            if sources:
+                out.append(
+                    FeedPartition(
+                        sources=sources,
+                        key_col=key_col,
+                        target_schema_version=self.target_sv,
+                        watermark_lsn=watermark,
+                    )
+                )
+        return out
 
     # -- data (executor-side, Arrow batches) ----------------------------
 
@@ -129,20 +149,57 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         import pyarrow.dataset as ds
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        if partition.dir_schema_version > partition.target_schema_version:
-            # the table evolved past the schema this query started
-            # with: narrowing casts could corrupt values, so fail the
-            # stream explicitly (Delta's fail-on-schema-change
-            # behavior) — restarting picks up the new schema
-            raise ValueError(
-                f"bucket written with schema v{partition.dir_schema_version} "
-                f"but this stream started at v{partition.target_schema_version}: "
-                "table schema evolved mid-stream; restart the streaming query"
+        target = to_arrow_schema(stored_schema(partition.target_schema_version))
+        parts: list[pa.Table] = []
+        for src_idx, (src_dir, src_sv) in enumerate(partition.sources):
+            if src_sv > partition.target_schema_version:
+                # the table evolved past the schema this query started
+                # with: narrowing casts could corrupt values, so fail
+                # the stream explicitly (Delta's fail-on-schema-change
+                # behavior) — restarting picks up the new schema
+                raise ValueError(
+                    f"bucket written with schema v{src_sv} "
+                    f"but this stream started at v{partition.target_schema_version}: "
+                    "table schema evolved mid-stream; restart the streaming query"
+                )
+            stored = to_arrow_schema(stored_schema(src_sv))
+            data = ds.dataset(src_dir, schema=stored, format="parquet")
+            # row-group pruning on the _lsn statistic, then exact filter
+            tbl = data.to_table(filter=ds.field("_lsn") > partition.watermark_lsn)
+            cols = [
+                tbl[f.name].cast(f.type)
+                if f.name in tbl.column_names
+                else pa.nulls(tbl.num_rows, f.type)  # added by later schema -> NULL
+                for f in target
+            ]
+            aligned = pa.table(cols, schema=target)
+            if len(partition.sources) > 1:
+                aligned = aligned.append_column(
+                    "_src", pa.array([src_idx] * tbl.num_rows, pa.int32())
+                )
+            parts.append(aligned)
+        tbl = pa.concat_tables(parts)
+
+        if len(partition.sources) > 1 and tbl.num_rows:
+            # merge-on-read: the span stacked >1 source on this bucket
+            # (base + deltas), so a key may carry several versions —
+            # keep the LWW winner, max (_lsn, append ordinal), to stay
+            # NET-change (batch read_changes semantics). One bucket =
+            # one partition, so this local dedup is globally complete.
+            # Vectorized pandas (sort + drop_duplicates), never per-row.
+            key = partition.key_col
+            d = tbl.select([key, "_lsn", "_src"]).to_pandas()
+            d["_row"] = range(len(d))
+            keep = (
+                d.sort_values(["_lsn", "_src"], kind="stable")
+                .drop_duplicates(subset=[key], keep="last")["_row"]
+                .to_numpy()
             )
-        stored = to_arrow_schema(stored_schema(partition.dir_schema_version))
-        data = ds.dataset(partition.bucket_dir, schema=stored, format="parquet")
-        # row-group pruning on the _lsn statistic, then exact filter
-        tbl = data.to_table(filter=ds.field("_lsn") > partition.watermark_lsn)
+            keep.sort()
+            tbl = tbl.take(pa.array(keep))
+            tbl = tbl.drop_columns(["_src"])
+        elif "_src" in tbl.column_names:
+            tbl = tbl.drop_columns(["_src"])
 
         out_fields = to_arrow_schema(feed_schema(partition.target_schema_version))
         n = tbl.num_rows
@@ -155,10 +212,8 @@ class LakeFeedStreamReader(DataSourceStreamReader):
                         field.type
                     )
                 )
-            elif field.name in tbl.column_names:
+            else:
                 cols.append(tbl[field.name].cast(field.type))
-            else:  # column added by a later schema version -> NULL
-                cols.append(pa.nulls(n, field.type))
         yield from pa.table(cols, schema=out_fields).to_batches()
 
     def commit(self, end: dict) -> None:

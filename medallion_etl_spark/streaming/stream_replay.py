@@ -83,6 +83,8 @@ def stream_replay(
     dedup_strategy: str = "agg",
     n_salts: int = 16,
     merge_path: str = "auto",
+    write_mode: str = "cow",
+    mor_max_deltas: int = 8,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     timeout_sec: float | None = None,
@@ -115,6 +117,8 @@ def stream_replay(
             dedup_strategy=dedup_strategy,
             n_salts=n_salts,
             merge_path=merge_path,
+            write_mode=write_mode,
+            mor_max_deltas=mor_max_deltas,
         )
         if res.get("skipped"):
             totals["epochs_skipped"] += 1

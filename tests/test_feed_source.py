@@ -121,8 +121,8 @@ def test_mid_stream_schema_evolution_fails_loudly(built):
     reader = LakeFeedStreamReader({"path": table.root})
     some_dir = next(iter(table.meta["buckets"].values()))["dir"]
     part = FeedPartition(
-        bucket_dir=f"{table.root}/{some_dir}",
-        dir_schema_version=3,
+        sources=[(f"{table.root}/{some_dir}", 3)],
+        key_col="doc_id",
         target_schema_version=2,
         watermark_lsn=-1,
     )

@@ -49,6 +49,15 @@ def test_any_chunking_any_order_converges(spark, tmp_path_factory, events, data)
     ]
     order = data.draw(st.permutations(chunks))
     redeliver = data.draw(st.booleans())
+    # each chunk independently COW or merge-on-read: convergence must
+    # hold over ANY interleaving of the two write paths
+    modes = data.draw(
+        st.lists(
+            st.sampled_from(["cow", "mor"]),
+            min_size=len(order),
+            max_size=len(order),
+        )
+    )
 
     rows = [
         (lsn, op, KEYS[ki], [lsn], 1, "s", None, 1)
@@ -63,13 +72,17 @@ def test_any_chunking_any_order_converges(spark, tmp_path_factory, events, data)
 
     root = str(tmp_path_factory.mktemp("prop") / "t")
     table = LakeTable.create(root, n_buckets=4, schema_version=1)
-    for bid, lo, hi in order:
+    for (bid, lo, hi), mode in zip(order, modes):
         chunk = df.filter(F.col("lsn").between(lo, hi))
-        apply_batch(spark, table, chunk, batch_id=bid, lsn_lo=lo, lsn_hi=hi, merge_path="agg")
+        apply_batch(
+            spark, table, chunk, batch_id=bid, lsn_lo=lo, lsn_hi=hi,
+            merge_path="agg", write_mode=mode,
+        )
         table = LakeTable.load(root)
         if redeliver:  # at-least-once source: same batch again is a no-op
             res = apply_batch(
-                spark, table, chunk, batch_id=bid, lsn_lo=lo, lsn_hi=hi, merge_path="agg"
+                spark, table, chunk, batch_id=bid, lsn_lo=lo, lsn_hi=hi,
+                merge_path="agg", write_mode=mode,
             )
             assert res.get("skipped")
 
