@@ -326,16 +326,19 @@ class LakeTable:
         only.
         """
         wanted = set(buckets) if buckets is not None else None
-        # (schema_version, didx) -> dirs; didx must ride along so the
-        # merge can break exact-LSN ties toward the newest append
-        groups: dict[tuple[int, int], list[str]] = {}
-        any_deltas = False
+        # (schema_version, didx, bucket-has-deltas) -> dirs; didx must
+        # ride along so the merge can break exact-LSN ties toward the
+        # newest append. The has-deltas flag splits the read per
+        # BUCKET: a key lives in exactly one bucket and a clean bucket
+        # is a single COW dir already holding one row per key, so only
+        # delta-carrying buckets need the fold — the merge shuffle is
+        # O(|delta buckets|), not O(|table|).
+        groups: dict[tuple[int, int, bool], list[str]] = {}
         for b_str, entry in self.meta["buckets"].items():
             if wanted is not None and int(b_str) not in wanted:
                 continue
             srcs = entry_sources(entry)
-            if len(srcs) > 1:
-                any_deltas = True
+            has_deltas = len(srcs) > 1 and merge_deltas
             for s in srcs:
                 if (
                     min_lsn_exclusive is not None
@@ -343,29 +346,34 @@ class LakeTable:
                     and int(s["max_lsn"]) <= min_lsn_exclusive
                 ):
                     continue  # footer stat proves no qualifying rows
-                groups.setdefault((s["schema_version"], s["didx"]), []).append(
-                    os.path.join(self.root, s["dir"])
-                )
+                groups.setdefault(
+                    (s["schema_version"], s["didx"], has_deltas), []
+                ).append(os.path.join(self.root, s["dir"]))
         target_sv = self.schema_version
-        need_merge = any_deltas and merge_deltas
-        parts: list[DataFrame] = []
-        for (sv, didx), dirs in sorted(groups.items()):
+        clean_parts: list[DataFrame] = []
+        merge_parts: list[DataFrame] = []
+        for (sv, didx, has_deltas), dirs in sorted(groups.items()):
             df = spark.read.schema(stored_schema(sv)).parquet(*dirs)
             if min_lsn_exclusive is not None:
                 df = df.filter(F.col("_lsn") > F.lit(min_lsn_exclusive))
             have = {f.name for f in DOCS_SCHEMAS[sv].fields}
             df = df.select(*aligned_cols(have, target_sv), *INTERNAL_COLS)
-            if need_merge:
-                df = df.withColumn("_didx", F.lit(didx))
-            parts.append(df)
+            if has_deltas:
+                merge_parts.append(df.withColumn("_didx", F.lit(didx)))
+            else:
+                clean_parts.append(df)
+        parts = list(clean_parts)
+        if merge_parts:
+            folded = merge_parts[0]
+            for p in merge_parts[1:]:
+                folded = folded.unionByName(p)
+            parts.append(self._merge_sources(folded))
         if not parts:
             out = spark.createDataFrame([], stored_schema(target_sv))
         else:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
-            if need_merge:
-                out = self._merge_sources(out)
         if raw:
             return out
         return out.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(*INTERNAL_COLS)

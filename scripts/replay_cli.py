@@ -40,6 +40,13 @@ def main() -> None:
     ap.add_argument("--table", required=True, help="LakeTable root (created if absent)")
     ap.add_argument("--chunk-size", type=int, default=1_000_000)
     ap.add_argument("--strategy", default="agg", choices=["agg", "salted", "window"])
+    ap.add_argument(
+        "--write-mode",
+        default="cow",
+        choices=["cow", "mor", "auto"],
+        help="cow rewrites touched buckets; mor appends read-merged deltas "
+        "(small chunks over a big base); auto picks per chunk",
+    )
     ap.add_argument("--n-salts", type=int, default=16)
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--parallelism", type=int, default=None)
@@ -65,6 +72,7 @@ def main() -> None:
             args.checkpoint,
             dedup_strategy=args.strategy,
             n_salts=args.n_salts,
+            write_mode=args.write_mode,
             max_files_per_trigger=args.max_files_per_trigger,
         )
     else:
@@ -76,6 +84,7 @@ def main() -> None:
             chunk_size=args.chunk_size,
             dedup_strategy=args.strategy,
             n_salts=args.n_salts,
+            write_mode=args.write_mode,
         )
     res["wall_sec"] = round(time.perf_counter() - t0, 3)
     res["final_rows"] = LakeTable.load(args.table).read(spark).count()

@@ -256,3 +256,44 @@ def test_mor_schema_evolution_delta_over_old_base(spark, tmp_path):
     rows = {r["doc_id"]: (r["tokens"], r["n_tok"], r["lang"]) for r in table.read(spark).collect()}
     assert rows == {"a": ([2], 2, "en"), "b": ([1], 1, None)}
     assert dict(table.read(spark).dtypes)["n_tok"] == "bigint"
+
+
+def test_fold_is_scoped_to_delta_carrying_buckets(spark, tmp_path):
+    """The read-side LWW fold must shuffle ONLY rows from buckets that
+    actually carry deltas. A key lives in exactly one bucket and a
+    clean bucket is one COW dir already holding one row per key, so
+    clean buckets legally bypass the groupBy fold — at scale the merge
+    cost is O(|delta buckets|), not O(|table|)."""
+    from medallion_etl_spark.cdc.table import bucket_expr
+
+    events = gen_events(spark, n_events=4_000, n_keys=400, hot_fraction=0.0).cache()
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    table = _apply(spark, table, events, 0, 0, 2_999, write_mode="cow")
+    # MOR-append a chunk filtered to the keys of ONE bucket
+    tail = events.filter(F.col("lsn") >= 3_000).filter(bucket_expr("doc_id", 8) == 5)
+    hi = tail.agg(F.max("lsn")).collect()[0][0]
+    apply_batch(spark, table, tail, batch_id=1, lsn_lo=3_000, lsn_hi=hi, write_mode="mor")
+    table = LakeTable.load(table.root)
+    assert set(_delta_counts(table)) == {5}
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # pruned read of a clean bucket: no fold node at all
+    assert "Aggregate" not in plan(table.read(spark, buckets=[4]))
+    # pruned read of the delta bucket: the fold is there
+    assert "Aggregate" in plan(table.read(spark, buckets=[5]))
+    # full read: clean-bucket scans sit ABOVE/OUTSIDE the fold — a scan
+    # line precedes the first aggregate node in the plan tree
+    full = table.read(spark)
+    lines = plan(full).splitlines()
+    first_agg = next(i for i, l in enumerate(lines) if "Aggregate" in l)
+    assert any(
+        "FileScan" in l or "Scan parquet" in l for l in lines[:first_agg]
+    ), "clean buckets were routed through the fold"
+    # and the result is still the exact LWW state
+    applied = events.filter(
+        (F.col("lsn") < 3_000)
+        | ((F.col("lsn") >= 3_000) & (bucket_expr("doc_id", 8) == 5))
+    )
+    assert_frames_equal(full.toPandas(), expected_final_state(applied.toPandas()))
