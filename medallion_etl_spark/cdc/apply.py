@@ -41,7 +41,12 @@ from pyspark.sql import functions as F
 from .dedup import dedup_latest
 from .evolve import aligned_cols
 from .lineage import write_lineage
-from .table import LakeTable, bucket_expr, dir_footer_stats
+from .table import (
+    LakeTable,
+    bucket_expr,
+    bucket_footer_stats,
+    map_bucket_dirs,
+)
 
 
 def _dir_bytes(path: str) -> int:
@@ -50,6 +55,35 @@ def _dir_bytes(path: str) -> int:
         for fn in filenames:
             total += os.path.getsize(os.path.join(dirpath, fn))
     return total
+
+
+def _record_write(spark, table, rel_dir, stats, batch_id, mark):
+    """Shared post-write tail of the COW and MOR apply paths: map the
+    freshly written ``_bucket=`` dirs, record per-bucket lineage
+    (bytes from the new dirs), and collect the commit footer stats.
+    Returns ``(new_dirs, rows_applied, fstats)`` — one implementation
+    so the two write paths can never diverge in what a commit
+    records."""
+    new_dirs = map_bucket_dirs(table.root, rel_dir)
+    rows_applied = sum(int(r["rows_applied"]) for r in stats)
+    lineage_rows = [
+        {
+            "batch_id": batch_id,
+            "partition_id": int(r["_bucket"]),
+            "lsn_lo": int(r["lsn_lo"]),
+            "lsn_hi": int(r["lsn_hi"]),
+            "rows_applied": int(r["rows_applied"]),
+            "bytes_written": _dir_bytes(os.path.join(table.root, new_dirs[int(r["_bucket"])]))
+            if int(r["_bucket"]) in new_dirs
+            else 0,
+        }
+        for r in stats
+    ]
+    mark("footer_stats")
+    write_lineage(spark, table.root, batch_id, lineage_rows)
+    mark("lineage")
+    fstats = bucket_footer_stats(table.root, new_dirs)
+    return new_dirs, rows_applied, fstats
 
 
 def apply_batch(
@@ -170,10 +204,13 @@ def apply_batch(
 
     chunk_rows = to_storage_layout(chunk, F.col("lsn"), F.col("op") == "D")
 
+    # both the auto write-mode gate and the COW broadcast gate need
+    # these; compute the metadata passes once
+    total_events = sum(int(r["rows_applied"]) for r in stats)
+    base_rows = table.bucket_rows(changed)
+
     mode = write_mode
     if mode == "auto":
-        base_rows = table.bucket_rows(changed)
-        total_events = sum(int(r["rows_applied"]) for r in stats)
         stacked = max(
             (
                 len(table.meta["buckets"].get(str(b), {}).get("deltas", []))
@@ -212,7 +249,6 @@ def apply_batch(
         chunk_rows.withColumn("_ord", F.col("_lsn") * 2 + 1)
     )
 
-    total_events = sum(int(r["rows_applied"]) for r in stats)
     # the broadcast set is the keys of base∪chunk, so the gate must
     # count BOTH: chunk events bound the chunk keys, and the metadata's
     # per-bucket row counts bound the base keys in touched buckets.
@@ -220,7 +256,6 @@ def apply_batch(
     # count — unknown size must force the shuffle path, never broadcast
     # on an understated bound. ~48 bytes/entry models the broadcast
     # hash relation (key + _ord longs + hash-table overhead).
-    base_rows = table.bucket_rows(changed)
     broadcast_est_bytes = (
         None if base_rows is None else (total_events + base_rows) * 48
     )
@@ -283,36 +318,10 @@ def apply_batch(
     ).parquet(out_dir)
     mark("merge_write")
 
-    # map written bucket dirs; a changed bucket with all rows deleted
-    # produces no dir and is dropped from metadata
-    new_dirs: dict[int, str] = {}
-    for entry in os.listdir(out_dir):
-        if entry.startswith("_bucket="):
-            b = int(entry.split("=", 1)[1])
-            new_dirs[b] = os.path.join(rel_dir, entry)
+    # a changed bucket with all rows deleted produces no dir and is
+    # dropped from metadata
+    new_dirs, rows_applied, fstats = _record_write(spark, table, rel_dir, stats, batch_id, mark)
     removed = set(changed) - set(new_dirs)
-
-    rows_applied = sum(int(r["rows_applied"]) for r in stats)
-    lineage_rows = [
-        {
-            "batch_id": batch_id,
-            "partition_id": int(r["_bucket"]),
-            "lsn_lo": int(r["lsn_lo"]),
-            "lsn_hi": int(r["lsn_hi"]),
-            "rows_applied": int(r["rows_applied"]),
-            "bytes_written": _dir_bytes(os.path.join(table.root, new_dirs[int(r["_bucket"])]))
-            if int(r["_bucket"]) in new_dirs
-            else 0,
-        }
-        for r in stats
-    ]
-    mark("footer_stats")
-    write_lineage(spark, table.root, batch_id, lineage_rows)
-    mark("lineage")
-
-    fstats = {
-        b: dir_footer_stats(os.path.join(table.root, rel)) for b, rel in new_dirs.items()
-    }
     table.commit(
         new_dirs,
         removed,
@@ -376,33 +385,7 @@ def _apply_mor(
     ).parquet(out_dir)
     mark("merge_write")
 
-    new_dirs: dict[int, str] = {}
-    for entry in os.listdir(out_dir):
-        if entry.startswith("_bucket="):
-            b = int(entry.split("=", 1)[1])
-            new_dirs[b] = os.path.join(rel_dir, entry)
-
-    rows_applied = sum(int(r["rows_applied"]) for r in stats)
-    lineage_rows = [
-        {
-            "batch_id": batch_id,
-            "partition_id": int(r["_bucket"]),
-            "lsn_lo": int(r["lsn_lo"]),
-            "lsn_hi": int(r["lsn_hi"]),
-            "rows_applied": int(r["rows_applied"]),
-            "bytes_written": _dir_bytes(os.path.join(table.root, new_dirs[int(r["_bucket"])]))
-            if int(r["_bucket"]) in new_dirs
-            else 0,
-        }
-        for r in stats
-    ]
-    mark("footer_stats")
-    write_lineage(spark, table.root, batch_id, lineage_rows)
-    mark("lineage")
-
-    fstats = {
-        b: dir_footer_stats(os.path.join(table.root, rel)) for b, rel in new_dirs.items()
-    }
+    new_dirs, rows_applied, fstats = _record_write(spark, table, rel_dir, stats, batch_id, mark)
     table.commit(
         {},
         set(),

@@ -100,6 +100,26 @@ def dir_footer_stats(abs_dir: str) -> tuple[int, int | None]:
     return total, max_lsn
 
 
+def map_bucket_dirs(root: str, rel_dir: str) -> dict[int, str]:
+    """Map the ``_bucket=K`` partition dirs a write produced under
+    ``rel_dir`` to table-relative paths, keyed by bucket id. The ONE
+    place that knows the partition-dir naming — every writer (COW
+    apply, MOR append, compact, rebucket) resolves its output through
+    this, so the layout convention cannot drift between paths."""
+    out: dict[int, str] = {}
+    for entry in os.listdir(os.path.join(root, rel_dir)):
+        if entry.startswith("_bucket="):
+            out[int(entry.split("=", 1)[1])] = os.path.join(rel_dir, entry)
+    return out
+
+
+def bucket_footer_stats(root: str, new_dirs: dict[int, str]) -> dict[int, tuple[int, int | None]]:
+    """Footer (rows, max_lsn) for each freshly written bucket dir —
+    the per-bucket stats every commit records (see dir_footer_stats
+    for why feeds need them)."""
+    return {b: dir_footer_stats(os.path.join(root, rel)) for b, rel in new_dirs.items()}
+
+
 def entry_sources(entry: dict) -> list[dict]:
     """Physical sources of one bucket entry, base first then merge-on-
     read deltas in append order. Each source: ``dir`` /
@@ -480,10 +500,11 @@ class LakeTable:
         # appended delta files, never the base), and the scan-level
         # filter prunes row groups before the MOR merge — winner-exact,
         # see read()
+        # (the watermark filter itself lives inside read() — every
+        # surviving scan group already carries `_lsn > watermark`)
         raw = self.read(spark, buckets=changed, raw=True, min_lsn_exclusive=watermark)
         feed = (
-            raw.filter(F.col("_lsn") > F.lit(watermark))
-            .withColumn(
+            raw.withColumn(
                 "_change_type",
                 F.when(
                     F.coalesce(F.col("_deleted"), F.lit(False)), F.lit("delete")
@@ -610,15 +631,9 @@ class LakeTable:
             .partitionBy("_bucket")
             .parquet(out_dir)
         )
-        new_dirs: dict[int, str] = {}
-        for entry in os.listdir(out_dir):
-            if entry.startswith("_bucket="):
-                b = int(entry.split("=", 1)[1])
-                new_dirs[b] = os.path.join(rel_dir, entry)
+        new_dirs = map_bucket_dirs(self.root, rel_dir)
         removed = {int(b) for b in self.meta["buckets"]} - set(new_dirs)
-        fstats = {
-            b: dir_footer_stats(os.path.join(self.root, rel)) for b, rel in new_dirs.items()
-        }
+        fstats = bucket_footer_stats(self.root, new_dirs)
         self.commit(
             new_dirs,
             removed,
@@ -693,16 +708,10 @@ class LakeTable:
             .partitionBy("_bucket")
             .parquet(out_dir)
         )
-        new_dirs: dict[int, str] = {}
-        for entry in os.listdir(out_dir):
-            if entry.startswith("_bucket="):
-                b = int(entry.split("=", 1)[1])
-                new_dirs[b] = os.path.join(rel_dir, entry)
+        new_dirs = map_bucket_dirs(self.root, rel_dir)
         removed = {int(b) for b in self.meta["buckets"]} - set(new_dirs)
         old_n = self.n_buckets
-        fstats = {
-            b: dir_footer_stats(os.path.join(self.root, rel)) for b, rel in new_dirs.items()
-        }
+        fstats = bucket_footer_stats(self.root, new_dirs)
         self.commit(
             new_dirs,
             removed,

@@ -175,7 +175,7 @@ class LakeFeedStreamReader(DataSourceStreamReader):
             aligned = pa.table(cols, schema=target)
             if len(partition.sources) > 1:
                 aligned = aligned.append_column(
-                    "_src", pa.array([src_idx] * tbl.num_rows, pa.int32())
+                    "_src", pa.repeat(pa.scalar(src_idx, pa.int32()), tbl.num_rows)
                 )
             parts.append(aligned)
         tbl = pa.concat_tables(parts)
