@@ -79,6 +79,38 @@ def cdc_replay_latest_state(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def cdc_replay_mor_state(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship replay driven through the MERGE-ON-READ write path:
+    every chunk is a per-bucket delta APPEND (apply.py ``_apply_mor``,
+    write cost O(|chunk|), no bucket rewrite) and the returned state is
+    read THROUGH the delta fold (table.py ``_merge_sources`` — LWW over
+    base ∪ deltas, scoped to delta-carrying buckets) before any
+    compaction folds them. Same oracle as the COW flagship: the two
+    write paths must be indistinguishable to a reader."""
+    events = T(spark, sf, "events")
+    stream = _as_change_stream(events)
+    n = events.agg(F.max("event_id")).collect()[0][0] or 0
+    chunk = max(int(n) // 4, 1)
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        f"cdc_flagship_mor_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    root = f"{tmp}/t"
+    table = LakeTable.create(root, n_buckets=8, schema_version=2)
+    replay(spark, stream, table, chunk_size=chunk, write_mode="mor")
+    final = LakeTable.load(root).read(spark)
+    return final.select(
+        "doc_id",
+        F.element_at("tokens", 1).alias("tok_value"),
+        F.element_at("tokens", 2).alias("tok_user"),
+        F.element_at("tokens", 3).alias("last_lsn"),
+        "n_tok",
+        F.col("source").alias("last_type"),
+    ).orderBy("doc_id")
+
+
 _FEED_ROOTS: dict[str, str] = {}
 
 
@@ -172,5 +204,6 @@ ORDER BY doc_id
 
 QUERIES = {
     "cdc_replay_latest_state": (cdc_replay_latest_state, CDC_REPLAY_LATEST_STATE_SQL),
+    "cdc_replay_mor_state": (cdc_replay_mor_state, CDC_REPLAY_LATEST_STATE_SQL),
     "cdc_change_feed": (cdc_change_feed, CDC_CHANGE_FEED_SQL),
 }
