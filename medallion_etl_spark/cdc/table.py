@@ -313,6 +313,7 @@ class LakeTable:
         *,
         merge_deltas: bool = True,
         min_lsn_exclusive: int | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Current snapshot, optionally pruned to the given buckets.
 
@@ -344,7 +345,23 @@ class LakeTable:
         equivalent for plain state reads (a key whose winner is below
         the bound would resurrect an older row) — feed/maintenance use
         only.
+
+        ``columns``: project to these payload columns (the key is kept
+        implicitly) BEFORE the MOR fold, so the ``max_by(struct)``
+        carries only the requested payload and — decisively at scale —
+        the parquet scans of delta-carrying buckets prune the other
+        columns at the reader. Catalyst pushes a downstream ``select``
+        into a plain scan by itself, but it cannot prune through the
+        fold's struct aggregate; this parameter is how a narrow
+        projection over a MOR table avoids shuffling wide payloads it
+        never asked for.
         """
+        if columns is not None:
+            known = {f.name for f in DOCS_SCHEMAS[self.schema_version].fields}
+            bad = [c for c in columns if c not in known]
+            if bad:
+                raise ValueError(f"unknown columns {bad}; table has {sorted(known)}")
+            keep = [self.key_col] + [c for c in columns if c != self.key_col]
         wanted = set(buckets) if buckets is not None else None
         # (schema_version, didx, bucket-has-deltas) -> dirs; didx must
         # ride along so the merge can break exact-LSN ties toward the
@@ -378,6 +395,8 @@ class LakeTable:
                 df = df.filter(F.col("_lsn") > F.lit(min_lsn_exclusive))
             have = {f.name for f in DOCS_SCHEMAS[sv].fields}
             df = df.select(*aligned_cols(have, target_sv), *INTERNAL_COLS)
+            if columns is not None:
+                df = df.select(*keep, *INTERNAL_COLS)
             if has_deltas:
                 merge_parts.append(df.withColumn("_didx", F.lit(didx)))
             else:
@@ -390,6 +409,8 @@ class LakeTable:
             parts.append(self._merge_sources(folded))
         if not parts:
             out = spark.createDataFrame([], stored_schema(target_sv))
+            if columns is not None:
+                out = out.select(*keep, *INTERNAL_COLS)
         else:
             out = parts[0]
             for p in parts[1:]:
@@ -554,7 +575,9 @@ class LakeTable:
         ).withColumn("_change_type", F.lit("update_preimage"))
         return feed.unionByName(pre)
 
-    def lookup(self, spark: SparkSession, keys: list) -> DataFrame:
+    def lookup(
+        self, spark: SparkSession, keys: list, columns: list[str] | None = None
+    ) -> DataFrame:
         """Point lookup: current rows for the given keys, reading ONLY
         the buckets those keys hash to. The bucket id is recomputed
         driver-side with the same murmur3 the writer used, so an
@@ -562,7 +585,7 @@ class LakeTable:
         bucket dirs — at 100 TB with thousands of buckets this is the
         difference between a metadata-sized read and a table scan."""
         if not keys:
-            return self.read(spark, buckets=[])
+            return self.read(spark, buckets=[], columns=columns)
         key_df = spark.createDataFrame(
             [(k,) for k in keys], T.StructType([T.StructField("_k", T.StringType(), True)])
         )
@@ -574,7 +597,9 @@ class LakeTable:
             .distinct()
             .collect()
         ]
-        return self.read(spark, buckets=buckets).filter(F.col(self.key_col).isin(keys))
+        return self.read(spark, buckets=buckets, columns=columns).filter(
+            F.col(self.key_col).isin(keys)
+        )
 
     # ---- maintenance -----------------------------------------------------
 

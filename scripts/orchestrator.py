@@ -135,7 +135,13 @@ def cmd_partial_refresh(spark, args) -> dict:
     table = _open_or_create(spark, args.out)
     chunk = _stream(spark, args.sf_dir).filter(F.col("lsn").between(lo, hi))
     res = apply_batch(
-        spark, table, chunk, batch_id=refresh_batch_id(lo, hi), lsn_lo=lo, lsn_hi=hi
+        spark,
+        table,
+        chunk,
+        batch_id=refresh_batch_id(lo, hi),
+        lsn_lo=lo,
+        lsn_hi=hi,
+        write_mode=getattr(args, "write_mode", "auto"),
     )
     return {
         "lsn_lo": lo,
@@ -216,6 +222,14 @@ def main() -> None:
     p = sub.add_parser("partial-refresh")
     p.add_argument("lsn_lo")
     p.add_argument("lsn_hi")
+    p.add_argument(
+        "--write-mode",
+        default="auto",
+        choices=["cow", "mor", "auto"],
+        help="a small LSN-range patch over a big table is the merge-on-read "
+        "sweet spot; auto appends deltas when the patch is small against "
+        "its touched base and rewrites otherwise",
+    )
     p = sub.add_parser("compact")
     p.add_argument("watermark_lsn")
     p.add_argument("--zorder", default=None, help="comma-separated columns to Z-order by")

@@ -297,3 +297,42 @@ def test_fold_is_scoped_to_delta_carrying_buckets(spark, tmp_path):
         | ((F.col("lsn") >= 3_000) & (bucket_expr("doc_id", 8) == 5))
     )
     assert_frames_equal(full.toPandas(), expected_final_state(applied.toPandas()))
+
+
+def test_projected_read_prunes_payload_through_the_fold(spark, tmp_path):
+    """read(columns=...) projects BEFORE the MOR fold, so the parquet
+    scans of delta-carrying buckets never read the payload columns the
+    caller didn't ask for — Catalyst can't prune through the fold's
+    struct aggregate on its own."""
+    import contextlib
+    import io
+
+    events = gen_events(spark, n_events=3_000, n_keys=300).cache()
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=4)
+    table = _apply(spark, table, events, 0, 0, 1_999, write_mode="cow")
+    table = _apply(spark, table, events, 1, 2_000, 2_999, write_mode="mor")
+    assert _delta_counts(table), "setup must leave MOR deltas in place"
+
+    narrow = table.read(spark, columns=["n_tok"])
+    assert set(narrow.columns) == {"doc_id", "n_tok"}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        narrow.explain(mode="formatted")
+    schema_lines = [l for l in buf.getvalue().splitlines() if "ReadSchema" in l]
+    assert schema_lines, "expected parquet scans in the plan"
+    assert all(
+        "tokens" not in l for l in schema_lines
+    ), "un-requested payload column reached a scan"
+
+    full = table.read(spark).select("doc_id", "n_tok")
+    a = narrow.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = full.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+    with pytest.raises(ValueError):
+        table.read(spark, columns=["no_such_col"])
+
+    keys = [r["doc_id"] for r in full.limit(3).collect()]
+    got = table.lookup(spark, keys, columns=["n_tok"]).toPandas()
+    assert set(got.columns) == {"doc_id", "n_tok"}
+    assert len(got) == len(keys)
