@@ -158,3 +158,30 @@ def test_compact_purges_tombstones(spark, tmp_path):
     raw2 = t2.read(spark, raw=True).toPandas()
     assert len(raw2) == 1 and set(raw2["doc_id"]) == {"b"}
     assert_frames_equal(t2.read(spark).toPandas(), before)  # visible table unchanged
+
+
+def test_stream_replay_mor_matches_oracle(spark, tmp_path, events_path, events_pdf):
+    """Micro-batches drained through the MERGE-ON-READ write path:
+    every epoch is a per-bucket delta append, and the state read
+    through the fold must equal the COW streaming result — the write
+    mode is a physical choice the stream's consumer never sees."""
+    root = str(tmp_path / "t")
+    LakeTable.create(root, n_buckets=8)
+    totals = stream_replay(
+        spark,
+        events_path,
+        root,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+        write_mode="mor",
+    )
+    assert totals["epochs"] >= 2
+    table = LakeTable.load(root)
+    deltas = {
+        int(b): len(e.get("deltas", []))
+        for b, e in table.meta["buckets"].items()
+        if e.get("deltas")
+    }
+    assert deltas, "MOR streaming left no delta appends"
+    assert_frames_equal(table.read(spark).toPandas(), expected_final_state(events_pdf))
+    assert table.schema_version == 3  # evolution applied mid-stream
