@@ -361,7 +361,11 @@ class LakeTable:
             bad = [c for c in columns if c not in known]
             if bad:
                 raise ValueError(f"unknown columns {bad}; table has {sorted(known)}")
-            keep = [self.key_col] + [c for c in columns if c != self.key_col]
+            # order-preserving dedupe: a repeated name would make the
+            # fold's struct fields ambiguous
+            keep = list(
+                dict.fromkeys([self.key_col] + [c for c in columns if c != self.key_col])
+            )
         wanted = set(buckets) if buckets is not None else None
         # (schema_version, didx, bucket-has-deltas) -> dirs; didx must
         # ride along so the merge can break exact-LSN ties toward the

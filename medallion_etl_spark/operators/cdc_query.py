@@ -42,32 +42,28 @@ def _as_change_stream(ev: DataFrame) -> DataFrame:
     )
 
 
-def cdc_replay_latest_state(spark: SparkSession, sf: str) -> DataFrame:
+def _replay_flagship(spark: SparkSession, sf: str, tmp_prefix: str, **replay_kw) -> DataFrame:
+    """Shared flagship body: replay the driver-events change stream in
+    4 LSN chunks into a session-lifetime LakeTable (deterministic per
+    input, fresh per call, atexit-cleaned) and return the final state
+    as a LAZY read with the oracle-paired projection — no toPandas
+    round-trip, so the flagship never materializes the full final
+    state on the driver (at real scale that would be a driver-memory
+    bottleneck). One implementation so the COW and MOR flagships can
+    never diverge in chunking or column aliases."""
     events = T(spark, sf, "events")
     stream = _as_change_stream(events)
     n = events.agg(F.max("event_id")).collect()[0][0] or 0
     chunk = max(int(n) // 4, 1)
-
-    # Session-lifetime table dir (deterministic per input, fresh per
-    # call, atexit-cleaned): the returned DataFrame stays a LAZY read
-    # over the replayed table — no toPandas round-trip, so the flagship
-    # never materializes the full final state on the driver (at real
-    # scale that would be a driver-memory bottleneck).
     tmp = os.path.join(
         tempfile.gettempdir(),
-        f"cdc_flagship_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+        f"{tmp_prefix}_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
     )
     shutil.rmtree(tmp, ignore_errors=True)
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     root = f"{tmp}/t"
     table = LakeTable.create(root, n_buckets=8, schema_version=2)
-    # merge_path="agg" so the driver's correctness gate exercises
-    # the explicitly-salted shuffle dedup (auto would pick the
-    # broadcast path on a stream this small)
-    replay(
-        spark, stream, table, chunk_size=chunk,
-        dedup_strategy="salted", merge_path="agg",
-    )
+    replay(spark, stream, table, chunk_size=chunk, **replay_kw)
     final = LakeTable.load(root).read(spark)
     return final.select(
         "doc_id",
@@ -77,6 +73,15 @@ def cdc_replay_latest_state(spark: SparkSession, sf: str) -> DataFrame:
         "n_tok",
         F.col("source").alias("last_type"),
     ).orderBy("doc_id")
+
+
+def cdc_replay_latest_state(spark: SparkSession, sf: str) -> DataFrame:
+    # merge_path="agg" so the driver's correctness gate exercises
+    # the explicitly-salted shuffle dedup (auto would pick the
+    # broadcast path on a stream this small)
+    return _replay_flagship(
+        spark, sf, "cdc_flagship", dedup_strategy="salted", merge_path="agg"
+    )
 
 
 def cdc_replay_mor_state(spark: SparkSession, sf: str) -> DataFrame:
@@ -87,28 +92,7 @@ def cdc_replay_mor_state(spark: SparkSession, sf: str) -> DataFrame:
     base ∪ deltas, scoped to delta-carrying buckets) before any
     compaction folds them. Same oracle as the COW flagship: the two
     write paths must be indistinguishable to a reader."""
-    events = T(spark, sf, "events")
-    stream = _as_change_stream(events)
-    n = events.agg(F.max("event_id")).collect()[0][0] or 0
-    chunk = max(int(n) // 4, 1)
-    tmp = os.path.join(
-        tempfile.gettempdir(),
-        f"cdc_flagship_mor_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    root = f"{tmp}/t"
-    table = LakeTable.create(root, n_buckets=8, schema_version=2)
-    replay(spark, stream, table, chunk_size=chunk, write_mode="mor")
-    final = LakeTable.load(root).read(spark)
-    return final.select(
-        "doc_id",
-        F.element_at("tokens", 1).alias("tok_value"),
-        F.element_at("tokens", 2).alias("tok_user"),
-        F.element_at("tokens", 3).alias("last_lsn"),
-        "n_tok",
-        F.col("source").alias("last_type"),
-    ).orderBy("doc_id")
+    return _replay_flagship(spark, sf, "cdc_flagship_mor", write_mode="mor")
 
 
 _FEED_ROOTS: dict[str, str] = {}
