@@ -88,6 +88,9 @@ def main() -> None:
         )
     res["wall_sec"] = round(time.perf_counter() - t0, 3)
     res["final_rows"] = LakeTable.load(args.table).read(spark).count()
+    # where the job actually ran — under spark-submit this must be the
+    # submitted master, never a builder-forced local[n]
+    res["master"] = spark.sparkContext.master
     print(json.dumps(res))
     spark.stop()
 
