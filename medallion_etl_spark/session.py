@@ -17,10 +17,12 @@ only ``master`` / executor sizing change.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
 DEFAULT_PARALLELISM = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+_warned_submit_gc = False
 
 
 def get_spark(
@@ -38,17 +40,20 @@ def get_spark(
     n = parallelism or DEFAULT_PARALLELISM
     shuffle = shuffle_partitions or max(n, 8)
     # Under spark-submit the JVM gateway already exists (PythonRunner
-    # exports PYSPARK_GATEWAY_PORT) and the master/driver sizing came
-    # from the submit args. An unconditional .master() here would
-    # silently OVERRIDE `spark-submit --master <cluster>` back to
-    # local[n] — the job would "run" but never leave the driver. Gate
-    # every launch-time conf so the same code deploys unchanged at any
-    # cluster size (north rule; exercised by tests/test_spark_submit.py).
+    # exports PYSPARK_GATEWAY_PORT) and the master + sizing came from
+    # the submit args. Builder .config() values override the system
+    # properties that submit-line --conf populates, so an unconditional
+    # .master() or sizing conf here would silently pin a 64-executor
+    # submit back to driver-local defaults. Under submit this function
+    # therefore sets NO master and NO sizing confs (shuffle partitions,
+    # default parallelism, driver memory, GC options) — the submit line
+    # is authoritative for all of them. The remaining builder confs are
+    # engine invariants (UTC timezone, Arrow, AQE, zstd), applied
+    # everywhere so results hash identically; override via extra_conf.
+    # Exercised end-to-end by tests/test_spark_submit.py.
     under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
     builder = (
         SparkSession.builder.appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle))
-        .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -67,6 +72,8 @@ def get_spark(
     if not under_submit:
         builder = (
             builder.master(f"local[{n}]")
+            .config("spark.sql.shuffle.partitions", str(shuffle))
+            .config("spark.default.parallelism", str(n))
             .config(
                 "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
             )
@@ -86,6 +93,22 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    global _warned_submit_gc
+    if (
+        under_submit
+        and not _warned_submit_gc
+        and "ParallelGCThreads"
+        not in spark.conf.get("spark.driver.extraJavaOptions", "")
+    ):
+        _warned_submit_gc = True
+        warnings.warn(
+            "running under spark-submit without a ParallelGCThreads cap; on "
+            "many-core driver hosts pass --driver-memory and --conf "
+            "spark.driver.extraJavaOptions='-XX:ParallelGCThreads=8 "
+            "-XX:ConcGCThreads=2' on the submit line (see BENCH/BASELINE.md: "
+            "uncapped GC threads collapse agg-heavy plans ~4x at local[32])",
+            stacklevel=2,
+        )
     return spark
 
 

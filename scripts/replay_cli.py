@@ -4,10 +4,17 @@
 The SAME job runs unchanged at any cluster size (north_rule: N vs 4N
 executors) — parallelism comes entirely from the cluster manager:
 
-    spark-submit --py-files medallion_etl_spark.zip scripts/replay_cli.py \
+    spark-submit --master <cluster> --driver-memory 48g \
+        --conf spark.driver.extraJavaOptions='-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2' \
+        --conf spark.sql.shuffle.partitions=<cores*2> \
+        --py-files medallion_etl_spark.zip scripts/replay_cli.py \
         --events /data/change_stream --table /lake/docs \
         [--streaming --checkpoint /lake/_ckpt/docs] \
         [--chunk-size 100000000] [--strategy agg|salted|window]
+
+Under spark-submit the submit line is authoritative for master and ALL
+sizing (get_spark sets none of them — builder confs would override
+--conf); --parallelism only applies to plain `python` runs.
 
 In the sandbox the equivalent is `python scripts/replay_cli.py` with
 `--parallelism N` (local[N]).
@@ -88,9 +95,11 @@ def main() -> None:
         )
     res["wall_sec"] = round(time.perf_counter() - t0, 3)
     res["final_rows"] = LakeTable.load(args.table).read(spark).count()
-    # where the job actually ran — under spark-submit this must be the
-    # submitted master, never a builder-forced local[n]
+    # where and how the job actually ran — under spark-submit these
+    # must echo the submit line (master and --conf sizing), never a
+    # builder-forced local[n] / driver-local default
     res["master"] = spark.sparkContext.master
+    res["shuffle_partitions"] = spark.conf.get("spark.sql.shuffle.partitions")
     print(json.dumps(res))
     spark.stop()
 

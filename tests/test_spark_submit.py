@@ -8,10 +8,11 @@ unchanged at N and 4N executors" made concrete in the sandbox:
 - the package is imported ONLY from the zip (the CLI is copied outside
   the repo, so its repo-relative sys.path fallback points at an empty
   dir and ``--py-files`` is the only way the import can resolve);
-- ``--master local[2]`` from the submit line wins over the code's
-  default parallelism (get_spark must not call .master() under
-  spark-submit — an unconditional .master() silently pins the job to
-  the driver no matter what cluster was submitted);
+- ``--master local[2]`` AND ``--conf`` sizing from the submit line win
+  over the code's defaults (builder .config() overrides submit-line
+  system properties, so get_spark must set neither master nor sizing
+  confs under spark-submit — an unconditional .master() silently pins
+  the job to the driver no matter what cluster was submitted);
 - the state the subprocess replayer commits is byte-identical to the
   in-process pandas oracle (token-array equality per row).
 """
@@ -44,9 +45,13 @@ def _spark_submit() -> str | None:
 
 @pytest.mark.skipif(_spark_submit() is None, reason="spark-submit not installed")
 def test_spark_submit_py_files_replay(spark, tmp_path):
-    # package the library exactly as a deployment would
+    # package the library exactly as a deployment would (path popped so
+    # scripts/ modules can't shadow later imports in the shared process)
     sys.path.insert(0, os.path.join(REPO, "scripts"))
-    from package_pyfiles import build_zip
+    try:
+        from package_pyfiles import build_zip
+    finally:
+        sys.path.pop(0)
 
     zip_path = build_zip(str(tmp_path / "medallion_etl_spark.zip"))
 
@@ -96,6 +101,9 @@ def test_spark_submit_py_files_replay(spark, tmp_path):
         [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
     )
     assert res["master"] == "local[2]", res
+    # submit-line --conf sizing wins too: get_spark must not force its
+    # own shuffle partitions (max(16, 8) from the decoy) over the 4
+    assert res["shuffle_partitions"] == "4", res
     assert res["batches_applied"] == 4, res
 
     got = LakeTable.load(table_root).read(spark).toPandas()
