@@ -20,11 +20,14 @@ same apply) lives in streaming/stream_replay.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .apply import apply_batch
 from .manifest import pending_chunks, plan_chunks
+from .quarantine import POLICIES, malformed_reason, split_malformed
 from .table import LakeTable, bucket_expr
 
 
@@ -40,20 +43,54 @@ def replay(
     write_mode: str = "cow",
     mor_max_deltas: int = 8,
     max_batches: int | None = None,
+    on_malformed: str = "fail",
+    quarantine_dir: str | None = None,
 ) -> dict:
     """Replay all not-yet-committed LSN chunks of ``events`` into
     ``table``. ``max_batches`` lets tests simulate a mid-replay kill.
 
+    ``on_malformed`` (see quarantine.py): 'fail' raises before anything
+    is applied if any event has a NULL lsn/key or an op outside
+    {I,U,D} — the count rides the upfront stats job, no extra scan;
+    'quarantine' writes the bad rows (+ ``_reason``) to
+    ``quarantine_dir`` (default ``<table>/_quarantine/range-LO-HI``,
+    overwritten on redelivery so resume stays idempotent) and replays
+    the rest; 'drop' replays the rest and reports the count. Chunk
+    PLANNING always uses the raw stream's LSN bounds, so the chunk ids
+    a quarantining replay commits are identical to what a clean replay
+    of the same range would commit (a chunk whose events were all bad
+    commits as an empty batch).
+
     Returns totals: batches applied, rows applied, events seen.
     """
+    if on_malformed not in POLICIES:
+        raise ValueError(f"on_malformed must be one of {POLICIES}, got {on_malformed!r}")
     bounds = events.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
     if bounds["lo"] is None:
         return {"batches_applied": 0, "rows_applied": 0}
     lsn_min = int(bounds["lo"])
-    chunks = plan_chunks(lsn_min, int(bounds["hi"]), chunk_size)
+    lsn_max = int(bounds["hi"])
+    chunks = plan_chunks(lsn_min, lsn_max, chunk_size)
     todo = pending_chunks(table, chunks)
     if max_batches is not None:
         todo = todo[:max_batches]
+
+    rows_quarantined = 0
+    rows_dropped = 0
+    quarantine_path = None
+    if on_malformed != "fail" and todo:
+        clean, bad = split_malformed(events, table.key_col)
+        n_bad = bad.count()
+        if n_bad:
+            if on_malformed == "quarantine":
+                quarantine_path = quarantine_dir or os.path.join(
+                    table.root, "_quarantine", f"range-{lsn_min}-{lsn_max}"
+                )
+                bad.write.mode("overwrite").parquet(quarantine_path)
+                rows_quarantined = n_bad
+            else:
+                rows_dropped = n_bad
+            events = clean
 
     # ONE upfront aggregation computes every chunk's per-bucket stats
     # (chunk index is a pure function of lsn and the deterministic
@@ -76,6 +113,14 @@ def replay(
         # index that disagrees with plan_chunks' integer ranges would
         # attribute a boundary event's bucket stats to the wrong chunk
         chunk_idx = F.expr(f"(lsn - {lsn_min}L) div {chunk_size}L").cast("int")
+        # fail-mode validation rides this same aggregation: NULL-lsn
+        # rows land in the NULL _chunk group, every other malformed
+        # row is counted inside its group — one scan either way
+        bad_agg = (
+            [F.count_if(malformed_reason(table.key_col).isNotNull()).alias("_bad")]
+            if on_malformed == "fail"
+            else [F.lit(0).alias("_bad")]
+        )
         all_stats = (
             events.groupBy(
                 chunk_idx.alias("_chunk"),
@@ -86,9 +131,18 @@ def replay(
                 F.min("lsn").alias("lsn_lo"),
                 F.max("lsn").alias("lsn_hi"),
                 *sv_agg,
+                *bad_agg,
             )
             .collect()
         )
+        total_bad = sum(int(r["_bad"]) for r in all_stats)
+        if total_bad:
+            raise ValueError(
+                f"{total_bad} malformed change event(s) in the stream (NULL "
+                "lsn, NULL key, or op outside {'I','U','D'}); nothing was "
+                "applied. Re-run with on_malformed='quarantine' to divert "
+                "them, or 'drop' to discard them."
+            )
         for r in all_stats:
             stats_by_chunk.setdefault(int(r["_chunk"]), []).append(r)
     upfront_stats_sec = round(_time.perf_counter() - t_stats0, 3)
@@ -132,9 +186,15 @@ def replay(
             for phase, sec in res.get("timings", {}).items():
                 phase_totals[phase] = round(phase_totals.get(phase, 0.0) + sec, 3)
     phase_totals["upfront_stats"] = upfront_stats_sec
-    return {
+    out = {
         "batches_applied": batches,
         "rows_applied": rows,
         "planned_chunks": len(chunks),
         "phase_totals": phase_totals,
     }
+    if rows_quarantined:
+        out["rows_quarantined"] = rows_quarantined
+        out["quarantine_path"] = quarantine_path
+    if rows_dropped:
+        out["rows_dropped"] = rows_dropped
+    return out

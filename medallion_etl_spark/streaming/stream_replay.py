@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..schemas import EVENTS_SCHEMA
 from ..cdc.apply import apply_batch
+from ..cdc.quarantine import POLICIES, malformed_reason, split_malformed
 from ..cdc.table import LakeTable
 
 # Streaming epochs and batch-replay chunk ids share the table's one
@@ -88,6 +89,8 @@ def stream_replay(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     timeout_sec: float | None = None,
+    on_malformed: str = "fail",
+    quarantine_dir: str | None = None,
 ) -> dict:
     """Drain the change stream at ``events_dir`` into the LakeTable at
     ``table_root`` via micro-batches.
@@ -96,15 +99,46 @@ def stream_replay(
     directory and stops (the testable drain mode); with ``False`` the
     query keeps tailing until ``timeout_sec``.
 
+    ``on_malformed`` (see cdc/quarantine.py): 'fail' (default) fails
+    the QUERY on the first micro-batch carrying a NULL-lsn/NULL-key/
+    unknown-op event (the count rides the epoch's existing bounds
+    aggregation — no extra job); 'quarantine' diverts bad rows to
+    ``quarantine_dir`` (default ``<table>/_quarantine``) keyed
+    ``epoch-N`` and overwritten per epoch, so a replayed epoch stays
+    idempotent; 'drop' discards them. Counted in the returned totals.
+
     Returns totals: epochs applied, rows applied.
     """
-    totals = {"epochs": 0, "rows_applied": 0, "epochs_skipped": 0}
+    if on_malformed not in POLICIES:
+        raise ValueError(f"on_malformed must be one of {POLICIES}, got {on_malformed!r}")
+    totals = {"epochs": 0, "rows_applied": 0, "epochs_skipped": 0, "rows_quarantined": 0, "rows_dropped": 0}
 
     def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         table = LakeTable.load(table_root)
+        reason = malformed_reason(table.key_col)
         bounds = batch_df.agg(
-            F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+            F.min("lsn").alias("lo"),
+            F.max("lsn").alias("hi"),
+            F.count_if(reason.isNotNull()).alias("bad"),
         ).collect()[0]
+        n_bad = int(bounds["bad"] or 0)
+        if n_bad:
+            if on_malformed == "fail":
+                raise ValueError(
+                    f"epoch {epoch_id}: {n_bad} malformed change event(s) "
+                    "(NULL lsn, NULL key, or op outside {'I','U','D'}). "
+                    "Restart with on_malformed='quarantine' or 'drop'."
+                )
+            clean, bad = split_malformed(batch_df, table.key_col)
+            if on_malformed == "quarantine":
+                qdir = quarantine_dir or os.path.join(table.root, "_quarantine")
+                bad.write.mode("overwrite").parquet(
+                    os.path.join(qdir, f"epoch-{epoch_id}")
+                )
+                totals["rows_quarantined"] += n_bad
+            else:
+                totals["rows_dropped"] += n_bad
+            batch_df = clean
         if bounds["lo"] is None:
             return
         res = apply_batch(

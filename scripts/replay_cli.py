@@ -54,6 +54,13 @@ def main() -> None:
         help="cow rewrites touched buckets; mor appends read-merged deltas "
         "(small chunks over a big base); auto picks per chunk",
     )
+    ap.add_argument(
+        "--on-malformed",
+        default="fail",
+        choices=["fail", "quarantine", "drop"],
+        help="events with NULL lsn/key or unknown op: fail the replay "
+        "(default), divert to <table>/_quarantine, or discard",
+    )
     ap.add_argument("--n-salts", type=int, default=16)
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--parallelism", type=int, default=None)
@@ -81,6 +88,7 @@ def main() -> None:
             n_salts=args.n_salts,
             write_mode=args.write_mode,
             max_files_per_trigger=args.max_files_per_trigger,
+            on_malformed=args.on_malformed,
         )
     else:
         events = spark.read.schema(EVENTS_SCHEMA).parquet(args.events)
@@ -92,6 +100,7 @@ def main() -> None:
             dedup_strategy=args.strategy,
             n_salts=args.n_salts,
             write_mode=args.write_mode,
+            on_malformed=args.on_malformed,
         )
     res["wall_sec"] = round(time.perf_counter() - t0, 3)
     res["final_rows"] = LakeTable.load(args.table).read(spark).count()

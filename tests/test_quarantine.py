@@ -1,0 +1,171 @@
+"""Malformed-event policy (cdc/quarantine.py).
+
+A WAL tail has no extract-time gatekeeper (the reference leans on
+psycopg2 + typed DDL to reject bad rows before load), so the replayer
+owns it: NULL-lsn / NULL-key / unknown-op events must never silently
+upsert — an op of 'X' would otherwise fall into the "not a delete"
+branch and write garbage into the table.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_etl_spark.cdc.replay import replay
+from medallion_etl_spark.cdc.table import LakeTable
+from medallion_etl_spark.synth import gen_events
+
+from .cdc_oracle import assert_frames_equal, expected_final_state
+
+N_EVENTS = 3_000
+N_KEYS = 200
+
+
+@pytest.fixture(scope="module")
+def streams(spark, tmp_path_factory):
+    """(dirty_path, clean_path, n_bad): the dirty stream is the clean
+    one plus 6 malformed rows — 2 NULL keys, 2 NULL lsns, 2 unknown
+    ops. The bad-op rows sit ABOVE the clean max lsn so the final
+    planned chunk contains only malformed events (the all-bad-chunk
+    edge must still commit)."""
+    root = tmp_path_factory.mktemp("quarantine")
+    clean = gen_events(spark, n_events=N_EVENTS, n_keys=N_KEYS)
+    null_key = (
+        clean.orderBy("lsn")
+        .limit(2)
+        .withColumn("lsn", F.col("lsn") + F.lit(N_EVENTS).cast("long"))
+        .withColumn("doc_id", F.lit(None).cast("string"))
+    )
+    null_lsn = (
+        clean.orderBy("lsn").limit(2).withColumn("lsn", F.lit(None).cast("long"))
+    )
+    bad_op = (
+        clean.orderBy("lsn")
+        .limit(2)
+        .withColumn("lsn", F.col("lsn") + F.lit(10 * N_EVENTS).cast("long"))
+        .withColumn("op", F.lit("X"))
+    )
+    dirty = clean.unionByName(null_key).unionByName(null_lsn).unionByName(bad_op)
+    clean_path = str(root / "clean")
+    dirty_path = str(root / "dirty")
+    clean.write.parquet(clean_path)
+    dirty.coalesce(4).write.parquet(dirty_path)
+    return dirty_path, clean_path, 6
+
+
+def _final(spark, root):
+    return LakeTable.load(root).read(spark).toPandas()
+
+
+def test_fail_mode_applies_nothing(spark, tmp_path, streams):
+    dirty_path, _, n_bad = streams
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    with pytest.raises(ValueError, match=rf"{n_bad} malformed"):
+        replay(spark, spark.read.parquet(dirty_path), table, chunk_size=1_000)
+    # the raise happened before ANY chunk was applied
+    reloaded = LakeTable.load(table.root)
+    assert reloaded.committed_batches() == {}
+    assert reloaded.read(spark).count() == 0
+
+
+def test_quarantine_diverts_and_matches_clean_replay(spark, tmp_path, streams):
+    dirty_path, clean_path, n_bad = streams
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    res = replay(
+        spark,
+        spark.read.parquet(dirty_path),
+        table,
+        chunk_size=1_000,
+        on_malformed="quarantine",
+    )
+    assert res["rows_quarantined"] == n_bad
+    # the chunk plan spans the raw bounds: the all-bad top chunk
+    # commits as an empty batch, so resume never re-reads it
+    assert res["batches_applied"] == res["planned_chunks"]
+
+    # quarantined rows carry their reason; nothing was lost or invented
+    qdf = spark.read.parquet(res["quarantine_path"])
+    reasons = {r["_reason"]: r["cnt"] for r in qdf.groupBy("_reason").agg(F.count("*").alias("cnt")).collect()}
+    assert reasons == {"null_key": 2, "null_lsn": 2, "bad_op": 2}
+
+    # table state is exactly the clean stream's replay
+    expected = expected_final_state(spark.read.parquet(clean_path).toPandas())
+    assert_frames_equal(_final(spark, table.root), expected)
+
+    # redelivery: nothing re-applies, quarantine dir untouched
+    res2 = replay(
+        spark,
+        spark.read.parquet(dirty_path),
+        LakeTable.load(table.root),
+        chunk_size=1_000,
+        on_malformed="quarantine",
+    )
+    assert res2["batches_applied"] == 0
+    assert "rows_quarantined" not in res2
+    assert spark.read.parquet(res["quarantine_path"]).count() == n_bad
+
+
+def test_drop_mode_counts_and_matches(spark, tmp_path, streams):
+    dirty_path, clean_path, n_bad = streams
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    res = replay(
+        spark,
+        spark.read.parquet(dirty_path),
+        table,
+        chunk_size=1_000,
+        on_malformed="drop",
+    )
+    assert res["rows_dropped"] == n_bad
+    assert not os.path.exists(os.path.join(table.root, "_quarantine"))
+    expected = expected_final_state(spark.read.parquet(clean_path).toPandas())
+    assert_frames_equal(_final(spark, table.root), expected)
+
+
+def test_clean_stream_unaffected_by_policy(spark, tmp_path, streams):
+    _, clean_path, _ = streams
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    res = replay(
+        spark,
+        spark.read.parquet(clean_path),
+        table,
+        chunk_size=1_000,
+        on_malformed="quarantine",
+    )
+    assert "rows_quarantined" not in res
+    assert not os.path.exists(os.path.join(table.root, "_quarantine"))
+    expected = expected_final_state(spark.read.parquet(clean_path).toPandas())
+    assert_frames_equal(_final(spark, table.root), expected)
+
+
+def test_streaming_quarantine_matches_batch(spark, tmp_path, streams):
+    from medallion_etl_spark.streaming.stream_replay import stream_replay
+
+    dirty_path, clean_path, n_bad = streams
+    root = str(tmp_path / "t")
+    LakeTable.create(root, n_buckets=8)
+    totals = stream_replay(
+        spark,
+        dirty_path,
+        root,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+        on_malformed="quarantine",
+    )
+    assert totals["rows_quarantined"] == n_bad
+    expected = expected_final_state(spark.read.parquet(clean_path).toPandas())
+    assert_frames_equal(_final(spark, root), expected)
+
+
+def test_streaming_fail_mode_fails_the_query(spark, tmp_path, streams):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from medallion_etl_spark.streaming.stream_replay import stream_replay
+
+    dirty_path, _, _ = streams
+    root = str(tmp_path / "t")
+    LakeTable.create(root, n_buckets=8)
+    with pytest.raises(StreamingQueryException, match="malformed"):
+        stream_replay(spark, dirty_path, root, str(tmp_path / "ckpt"))
