@@ -33,8 +33,35 @@ def manifest_df(spark: SparkSession, table: LakeTable) -> DataFrame:
 
 def pending_chunks(table: LakeTable, chunks: list[tuple[int, int, int]]) -> list[tuple[int, int, int]]:
     """Filter a planned (batch_id, lsn_lo, lsn_hi) chunk list down to
-    the ones not yet committed."""
-    return [c for c in chunks if not table.is_committed(c[0])]
+    the ones not yet committed.
+
+    A committed id is only skippable when its recorded LSN range equals
+    the planned one (a true redelivery). A mismatch means the caller is
+    replaying a DIFFERENT window of the stream — e.g. feeding only
+    today's tail, so lsn_min moved and chunk 0 now names new data —
+    and skipping would silently drop events. Same guard as apply_batch,
+    enforced here because this filter would otherwise hide those
+    chunks from it. (Fix for the silent variant of reference BUG-001's
+    visibility class: resume must never lose data, loudly or quietly.)
+    """
+    committed = table.committed_batches()
+    todo = []
+    for bid, lo, hi in chunks:
+        rec = committed.get(bid)
+        if rec is not None:
+            if (int(rec["lsn_lo"]), int(rec["lsn_hi"])) != (lo, hi):
+                raise RuntimeError(
+                    f"batch_id {bid} already committed for LSN range "
+                    f"[{rec['lsn_lo']}, {rec['lsn_hi']}] but this replay plans "
+                    f"[{lo}, {hi}] for it: the stream window moved (or "
+                    "chunk_size changed), so skipping would silently drop "
+                    "events. Replay the full stream from its original "
+                    "lsn_min with the original chunk_size, or use the "
+                    "streaming replayer for a moving tail."
+                )
+            continue
+        todo.append((bid, lo, hi))
+    return todo
 
 
 def plan_chunks(lsn_min: int, lsn_max: int, chunk_size: int) -> list[tuple[int, int, int]]:

@@ -172,6 +172,74 @@ ORDER BY doc_id
 """
 
 
+_DML_ROOTS: dict[str, str] = {}
+
+
+def cdc_dml_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicate DML (cdc/dml.py) driven end-to-end: replay the full
+    change stream, then UPDATE WHERE source='click' SET lang='redacted',
+    then DELETE WHERE token[1] >= 5000, and return the final state. Both
+    mutations are minted above the high-water-mark LSN and applied
+    through the normal LWW/tombstone merge (write_mode='auto', so the
+    sparse DELETE may land as MOR deltas the read folds). The oracle
+    recomputes latest-state with one window, then applies the same SET
+    as a CASE and the same DELETE as a WHERE — pinning that DML
+    composes with replay exactly like ordinary change events.
+    (Delta ``UPDATE``/``DELETE FROM`` analog; the reference's analog is
+    out-of-pipeline hand SQL, etl/load/load_sql.py delete-by-month.)"""
+    from ..cdc.dml import delete_where, update_where
+
+    cached = _DML_ROOTS.get(sf)
+    if cached is None or not LakeTable.exists(cached):
+        events = T(spark, sf, "events")
+        stream = _as_change_stream(events)
+        n = events.agg(F.max("event_id")).collect()[0][0] or 0
+        tmp = os.path.join(
+            tempfile.gettempdir(),
+            f"cdc_dml_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        root = f"{tmp}/t"
+        table = LakeTable.create(root, n_buckets=8, schema_version=2)
+        replay(spark, stream, table, chunk_size=max(int(n) // 4, 1))
+        update_where(
+            spark, LakeTable.load(root), "source = 'click'", {"lang": "'redacted'"}
+        )
+        delete_where(spark, LakeTable.load(root), "element_at(tokens, 1) >= 5000")
+        _DML_ROOTS[sf] = root
+    final = LakeTable.load(_DML_ROOTS[sf]).read(spark)
+    return final.select(
+        "doc_id",
+        F.element_at("tokens", 1).alias("tok_value"),
+        F.element_at("tokens", 2).alias("tok_user"),
+        F.element_at("tokens", 3).alias("last_lsn"),
+        "n_tok",
+        F.col("source").alias("last_type"),
+        "lang",
+    ).orderBy("doc_id")
+
+
+CDC_DML_STATE_SQL = """
+WITH latest AS (
+  SELECT concat('u', user_id) AS doc_id,
+         CAST(FLOOR(value * 100) AS INT) AS tok_value,
+         CAST(user_id AS INT) AS tok_user,
+         CAST(event_id AS INT) AS last_lsn,
+         CAST(3 AS BIGINT) AS n_tok,
+         event_type AS last_type
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    AND event_type <> 'error'
+)
+SELECT doc_id, tok_value, tok_user, last_lsn, n_tok, last_type,
+       CASE WHEN last_type = 'click' THEN 'redacted' END AS lang
+FROM latest
+WHERE tok_value < 5000
+ORDER BY doc_id
+"""
+
+
 CDC_REPLAY_LATEST_STATE_SQL = """
 SELECT concat('u', user_id) AS doc_id,
        CAST(FLOOR(value * 100) AS INT) AS tok_value,
@@ -190,4 +258,5 @@ QUERIES = {
     "cdc_replay_latest_state": (cdc_replay_latest_state, CDC_REPLAY_LATEST_STATE_SQL),
     "cdc_replay_mor_state": (cdc_replay_mor_state, CDC_REPLAY_LATEST_STATE_SQL),
     "cdc_change_feed": (cdc_change_feed, CDC_CHANGE_FEED_SQL),
+    "cdc_dml_state": (cdc_dml_state, CDC_DML_STATE_SQL),
 }

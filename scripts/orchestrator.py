@@ -188,6 +188,28 @@ def cmd_rebucket(spark, args) -> dict:
     return table.rebucket(spark, int(args.n_buckets))
 
 
+def cmd_delete_where(spark, args) -> dict:
+    from medallion_etl_spark.cdc.dml import delete_where
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    return delete_where(spark, LakeTable.load(_table_root(args.out)), args.predicate)
+
+
+def cmd_update_where(spark, args) -> dict:
+    from medallion_etl_spark.cdc.dml import update_where
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    sets = {}
+    for item in args.set:
+        col, _, expr = item.partition("=")
+        if not expr:
+            raise SystemExit(f"--set expects column=expression, got {item!r}")
+        sets[col.strip()] = expr.strip()
+    return update_where(
+        spark, LakeTable.load(_table_root(args.out)), args.predicate, sets
+    )
+
+
 def cmd_history(spark, args) -> dict:
     from medallion_etl_spark.cdc.table import LakeTable
 
@@ -252,6 +274,16 @@ def main() -> None:
     sub.add_parser("history")
     p = sub.add_parser("rebucket")
     p.add_argument("n_buckets")
+    p = sub.add_parser("delete-where")
+    p.add_argument("predicate", help="SQL predicate over the current rows")
+    p = sub.add_parser("update-where")
+    p.add_argument("predicate", help="SQL predicate over the current rows")
+    p.add_argument(
+        "--set",
+        action="append",
+        required=True,
+        help="column=expression (repeatable); expressions see the current row",
+    )
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -269,6 +301,8 @@ def main() -> None:
         "snapshot": cmd_snapshot,
         "history": cmd_history,
         "rebucket": cmd_rebucket,
+        "delete-where": cmd_delete_where,
+        "update-where": cmd_update_where,
     }
     result = dispatch[args.layer](spark, args)
     print(json.dumps({"command": args.layer, "ok": True, "result": result}, default=str))

@@ -39,16 +39,50 @@ def test_plan_is_deterministic(lo, span, chunk):
     assert plan_chunks(lo, lo + span, chunk) == plan_chunks(lo, lo + span, chunk)
 
 
+class FakeTable:
+    """committed = {batch_id: (lsn_lo, lsn_hi)}"""
+
+    def __init__(self, committed):
+        self._c = committed
+
+    def committed_batches(self):
+        return {b: {"lsn_lo": lo, "lsn_hi": hi} for b, (lo, hi) in self._c.items()}
+
+
 def test_pending_chunks_skips_committed():
-    class FakeTable:
-        def __init__(self, committed):
-            self._c = committed
-
-        def is_committed(self, bid):
-            return bid in self._c
-
     from medallion_etl_spark.cdc.manifest import pending_chunks
 
     chunks = plan_chunks(0, 99, 25)
-    assert [c[0] for c in pending_chunks(FakeTable({0, 2}), chunks)] == [1, 3]
-    assert pending_chunks(FakeTable({0, 1, 2, 3}), chunks) == []
+    done = {0: (0, 24), 2: (50, 74)}
+    assert [c[0] for c in pending_chunks(FakeTable(done), chunks)] == [1, 3]
+    all_done = {i: (i * 25, i * 25 + 24) for i in range(4)}
+    assert pending_chunks(FakeTable(all_done), chunks) == []
+
+
+def test_pending_chunks_raises_on_moved_window():
+    """A committed id re-planned with a DIFFERENT LSN range means the
+    stream window moved (yesterday's extract consumed, today's tail fed
+    alone): silently skipping it would drop today's events forever."""
+    import pytest
+
+    from medallion_etl_spark.cdc.manifest import pending_chunks
+
+    # yesterday: events 0..99 in 25-chunks; today: only events 100..199
+    # are fed, so chunk 0 re-plans as [100, 124]
+    done = {i: (i * 25, i * 25 + 24) for i in range(4)}
+    today = plan_chunks(100, 199, 25)
+    with pytest.raises(RuntimeError, match="window moved"):
+        pending_chunks(FakeTable(done), today)
+
+    # a tail grown INTO a partially-filled committed chunk is the same
+    # hazard: chunk 3 committed as [75, 90] when the stream ended at
+    # 90; after growth the plan says [75, 99] — rows 91..99 would
+    # vanish inside the skipped chunk
+    done_partial = {**{i: (i * 25, i * 25 + 24) for i in range(3)}, 3: (75, 90)}
+    grown = plan_chunks(0, 120, 25)
+    with pytest.raises(RuntimeError, match="window moved"):
+        pending_chunks(FakeTable(done_partial), grown)
+
+    # a grown tail after a FULL last chunk is fine: old chunks re-plan
+    # with identical ranges, only the new chunk is pending
+    assert [c[0] for c in pending_chunks(FakeTable(done), grown)] == [4]

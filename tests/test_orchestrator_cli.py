@@ -89,3 +89,29 @@ def test_compact_zorder_via_cli(spark, tmp_path, sf_tiny):
     cmd_compact(spark, _args(tmp_path, sf_tiny, watermark_lsn="0", zorder=None))
     table = LakeTable.load(_table_root(str(tmp_path)))
     assert table.meta["clustering"]["kind"] == "key"
+
+
+def test_dml_via_cli(spark, tmp_path, sf_tiny):
+    from scripts.orchestrator import _table_root, cmd_delete_where, cmd_update_where
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    cmd_bronze(spark, _args(tmp_path, sf_tiny))
+    root = _table_root(str(tmp_path))
+    before = LakeTable.load(root).read(spark).count()
+
+    upd = cmd_update_where(
+        spark,
+        _args(tmp_path, sf_tiny, predicate="source = 'click'", set=["lang='xx'"]),
+    )
+    assert upd["committed"] and upd["rows_updated"] > 0
+    table = LakeTable.load(root)
+    assert (
+        table.read(spark).filter("source = 'click' AND lang = 'xx'").count()
+        == upd["rows_updated"]
+    )
+
+    dele = cmd_delete_where(
+        spark, _args(tmp_path, sf_tiny, predicate="source = 'click'")
+    )
+    assert dele["rows_deleted"] == upd["rows_updated"]
+    assert LakeTable.load(root).read(spark).count() == before - dele["rows_deleted"]
