@@ -38,6 +38,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .constraints import fail_on_violations, violation_reason
 from .dedup import dedup_latest
 from .evolve import aligned_cols
 from .lineage import write_lineage
@@ -165,12 +166,28 @@ def apply_batch(
     # partial agg collapsing to n_buckets rows per task.
     has_sv = "schema_version" in chunk.columns
     if precomputed_stats is not None:
+        # the batch replayer computed these in its one upfront
+        # aggregation — which also enforced (or diverted) CHECK
+        # constraints and malformed events for the whole stream
         stats = precomputed_stats
     else:
         sv_agg = (
             [F.max("schema_version").alias("max_sv")]
             if has_sv
             else [F.lit(None).cast("int").alias("max_sv")]
+        )
+        # CHECK-constraint enforcement for direct callers (streaming
+        # epochs pre-check in stream_replay; predicate DML and tests
+        # land here): the violation count rides this same stats job —
+        # zero extra jobs on the clean path, per-constraint diagnostic
+        # only on the error path. apply_batch itself is fail-only; the
+        # quarantine/drop policies live in the replayers, which can
+        # divert rows BEFORE planning.
+        vreason = violation_reason(table.constraints)
+        viol_agg = (
+            [F.count_if(vreason.isNotNull()).alias("_viol")]
+            if vreason is not None
+            else [F.lit(0).alias("_viol")]
         )
         stats = (
             chunk.groupBy(bucket_expr(key, table.n_buckets).alias("_bucket"))
@@ -179,9 +196,15 @@ def apply_batch(
                 F.min("lsn").alias("lsn_lo"),
                 F.max("lsn").alias("lsn_hi"),
                 *sv_agg,
+                *viol_agg,
             )
             .collect()
         )
+        total_viol = sum(int(r["_viol"]) for r in stats)
+        if total_viol:
+            fail_on_violations(
+                chunk, table.constraints, total_viol, context=f"batch {batch_id}"
+            )
     mark("stats")
     changed = sorted(int(r["_bucket"]) for r in stats)
     if not changed:

@@ -103,11 +103,20 @@ def delete_where(
     key = table.key_col
 
     def build(t: LakeTable, lsn: int) -> DataFrame:
+        # tombstones carry the full payload schema as NULLs (the same
+        # shape a stream delete has), so downstream column expressions
+        # — e.g. CHECK-constraint predicates in apply_batch's stats
+        # aggregation — always resolve
         return (
             t.read(spark)
             .filter(pred)
             .select(
-                F.col(key),
+                *[
+                    F.col(f.name)
+                    if f.name == key
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in t.schema().fields
+                ],
                 F.lit(lsn).cast("long").alias("lsn"),
                 F.lit("D").alias("op"),
             )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .apply import apply_batch
+from .constraints import fail_on_violations, violation_reason
 from .manifest import pending_chunks, plan_chunks
 from .quarantine import POLICIES, malformed_reason, split_malformed
 from .table import LakeTable, bucket_expr
@@ -44,6 +45,7 @@ def replay(
     mor_max_deltas: int = 8,
     max_batches: int | None = None,
     on_malformed: str = "fail",
+    on_violation: str = "fail",
     quarantine_dir: str | None = None,
 ) -> dict:
     """Replay all not-yet-committed LSN chunks of ``events`` into
@@ -61,10 +63,20 @@ def replay(
     of the same range would commit (a chunk whose events were all bad
     commits as an empty batch).
 
+    ``on_violation`` is the same policy triple for the table's CHECK
+    constraints (see cdc/constraints.py; tombstones are exempt, NULL
+    predicates pass): 'fail' raises before anything is applied — the
+    violation total rides the same upfront stats job as the malformed
+    count — 'quarantine' diverts violating events (+ ``_reason =
+    'check:<name>'``) to ``<quarantine>/…-checks``, 'drop' discards
+    them with a count.
+
     Returns totals: batches applied, rows applied, events seen.
     """
     if on_malformed not in POLICIES:
         raise ValueError(f"on_malformed must be one of {POLICIES}, got {on_malformed!r}")
+    if on_violation not in POLICIES:
+        raise ValueError(f"on_violation must be one of {POLICIES}, got {on_violation!r}")
     bounds = events.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
     if bounds["lo"] is None:
         return {"batches_applied": 0, "rows_applied": 0}
@@ -91,6 +103,32 @@ def replay(
             else:
                 rows_dropped = n_bad
             events = clean
+
+    rows_violating = 0
+    violations_path = None
+    if on_violation != "fail" and todo and table.constraints:
+        # a row that is ALSO malformed follows the malformed policy —
+        # it was diverted above (quarantine/drop) or will fail the
+        # upfront agg (fail) — so the constraint split must not claim
+        # it; both conjuncts are non-null booleans, so the negation in
+        # `passing` cannot silently drop rows
+        vreason = violation_reason(table.constraints)
+        is_viol = vreason.isNotNull() & malformed_reason(table.key_col).isNull()
+        passing = events.filter(~is_viol)
+        violating = events.withColumn("_reason", vreason).filter(is_viol)
+        n_viol = violating.count()
+        if n_viol:
+            if on_violation == "quarantine":
+                violations_path = (
+                    os.path.join(quarantine_dir, "checks")
+                    if quarantine_dir
+                    else os.path.join(
+                        table.root, "_quarantine", f"range-{lsn_min}-{lsn_max}-checks"
+                    )
+                )
+                violating.write.mode("overwrite").parquet(violations_path)
+            rows_violating = n_viol
+            events = passing
 
     # ONE upfront aggregation computes every chunk's per-bucket stats
     # (chunk index is a pure function of lsn and the deterministic
@@ -121,6 +159,15 @@ def replay(
             if on_malformed == "fail"
             else [F.lit(0).alias("_bad")]
         )
+        # fail-mode CHECK-constraint validation rides the same pass
+        vreason = (
+            violation_reason(table.constraints) if on_violation == "fail" else None
+        )
+        viol_agg = (
+            [F.count_if(vreason.isNotNull()).alias("_viol")]
+            if vreason is not None
+            else [F.lit(0).alias("_viol")]
+        )
         all_stats = (
             events.groupBy(
                 chunk_idx.alias("_chunk"),
@@ -132,6 +179,7 @@ def replay(
                 F.max("lsn").alias("lsn_hi"),
                 *sv_agg,
                 *bad_agg,
+                *viol_agg,
             )
             .collect()
         )
@@ -143,6 +191,9 @@ def replay(
                 "applied. Re-run with on_malformed='quarantine' to divert "
                 "them, or 'drop' to discard them."
             )
+        total_viol = sum(int(r["_viol"]) for r in all_stats)
+        if total_viol:
+            fail_on_violations(events, table.constraints, total_viol)
         for r in all_stats:
             stats_by_chunk.setdefault(int(r["_chunk"]), []).append(r)
     upfront_stats_sec = round(_time.perf_counter() - t_stats0, 3)
@@ -197,4 +248,8 @@ def replay(
         out["quarantine_path"] = quarantine_path
     if rows_dropped:
         out["rows_dropped"] = rows_dropped
+    if rows_violating:
+        out["rows_violating"] = rows_violating
+        if violations_path:
+            out["violations_path"] = violations_path
     return out

@@ -195,6 +195,7 @@ class LakeTable:
         schema_version: int = 1,
         key_col: str = "doc_id",
         bloom_key_filter: bool = False,
+        constraints: dict[str, str] | None = None,
     ) -> "LakeTable":
         """``bloom_key_filter=True`` writes a parquet bloom filter on
         the key column in every bucket file (merge, compact, rebucket
@@ -215,6 +216,9 @@ class LakeTable:
             "bloom_key_filter": bool(bloom_key_filter),
             "buckets": {},  # bucket_id(str) -> {"dir": rel, "schema_version": int}
             "committed_batches": {},  # batch_id(str) -> {lsn_lo, lsn_hi, rows_applied}
+            # CHECK constraints (cdc/constraints.py): name -> SQL predicate
+            # every non-tombstone write must not evaluate to FALSE
+            "constraints": dict(constraints or {}),
         }
         table = cls(root, meta)
         table._write_metadata(meta)
@@ -302,6 +306,47 @@ class LakeTable:
 
     def committed_batches(self) -> dict[int, dict]:
         return {int(k): v for k, v in self.meta["committed_batches"].items()}
+
+    @property
+    def constraints(self) -> dict[str, str]:
+        """CHECK constraints (name -> SQL predicate) every writer
+        enforces; absent key (pre-constraints table) = none."""
+        return self.meta.get("constraints", {})
+
+    def add_constraint(self, spark: SparkSession, name: str, predicate: str) -> dict:
+        """Record a CHECK constraint in table metadata (metadata-only
+        commit — the Delta ``ALTER TABLE ADD CONSTRAINT`` analog).
+
+        Like Delta, adding VALIDATES the existing data first: every
+        current row must not evaluate the predicate to FALSE (NULL
+        passes — SQL-standard CHECK), otherwise this raises with the
+        violation count and commits nothing. From the new version on,
+        every write path (batch replay, streaming epochs, predicate
+        DML) enforces it per its ``on_violation`` policy."""
+        if name in self.constraints:
+            raise ValueError(f"constraint {name!r} already exists: {self.constraints[name]!r}")
+        from .constraints import violation_reason
+
+        reason = violation_reason({name: predicate}, op_aware=False)
+        n_bad = self.read(spark).filter(reason.isNotNull()).count()
+        if n_bad:
+            raise ValueError(
+                f"cannot add constraint {name!r} CHECK ({predicate}): "
+                f"{n_bad} existing row(s) violate it; clean the data "
+                "first (e.g. delete_where/update_where) or fix the predicate"
+            )
+        self.commit({}, set(), None, meta_updates={"constraints": {**self.constraints, name: predicate}})
+        return {"constraint": name, "predicate": predicate, "version": self.version}
+
+    def drop_constraint(self, name: str) -> dict:
+        """Remove a CHECK constraint (metadata-only commit). Unknown
+        names are refused — silently 'dropping' a typo would leave the
+        real constraint enforced against the caller's expectation."""
+        if name not in self.constraints:
+            raise ValueError(f"no constraint {name!r}; table has {sorted(self.constraints)}")
+        remaining = {k: v for k, v in self.constraints.items() if k != name}
+        self.commit({}, set(), None, meta_updates={"constraints": remaining})
+        return {"constraint": name, "version": self.version}
 
     # ---- read ------------------------------------------------------------
 

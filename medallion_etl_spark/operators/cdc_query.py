@@ -42,7 +42,13 @@ def _as_change_stream(ev: DataFrame) -> DataFrame:
     )
 
 
-def _replay_flagship(spark: SparkSession, sf: str, tmp_prefix: str, **replay_kw) -> DataFrame:
+def _replay_flagship(
+    spark: SparkSession,
+    sf: str,
+    tmp_prefix: str,
+    constraints: dict[str, str] | None = None,
+    **replay_kw,
+) -> DataFrame:
     """Shared flagship body: replay the driver-events change stream in
     4 LSN chunks into a session-lifetime LakeTable (deterministic per
     input, fresh per call, atexit-cleaned) and return the final state
@@ -62,7 +68,7 @@ def _replay_flagship(spark: SparkSession, sf: str, tmp_prefix: str, **replay_kw)
     shutil.rmtree(tmp, ignore_errors=True)
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     root = f"{tmp}/t"
-    table = LakeTable.create(root, n_buckets=8, schema_version=2)
+    table = LakeTable.create(root, n_buckets=8, schema_version=2, constraints=constraints)
     replay(spark, stream, table, chunk_size=chunk, **replay_kw)
     final = LakeTable.load(root).read(spark)
     return final.select(
@@ -172,6 +178,42 @@ ORDER BY doc_id
 """
 
 
+def cdc_constrained_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship replay against a table created with a CHECK
+    constraint (cdc/constraints.py — Delta ADD CONSTRAINT analog),
+    ``on_violation='drop'``: every upsert whose first token is >= 5000
+    is discarded BEFORE the LWW merge, so a key whose newest event
+    violates falls back to its newest PASSING event — different
+    semantics from post-hoc deletion (cdc_dml_state), which the oracle
+    pins by filtering the raw stream first and windowing after.
+    Tombstones are exempt (NULL payload; SQL-standard CHECK)."""
+    return _replay_flagship(
+        spark,
+        sf,
+        "cdc_flagship_check",
+        constraints={"tok_cap": "element_at(tokens, 1) < 5000"},
+        on_violation="drop",
+    )
+
+
+CDC_CONSTRAINED_REPLAY_SQL = """
+WITH passing AS (
+  SELECT * FROM events
+  WHERE event_type = 'error' OR CAST(FLOOR(value * 100) AS INT) < 5000
+)
+SELECT concat('u', user_id) AS doc_id,
+       CAST(FLOOR(value * 100) AS INT) AS tok_value,
+       CAST(user_id AS INT) AS tok_user,
+       CAST(event_id AS INT) AS last_lsn,
+       CAST(3 AS INTEGER) AS n_tok,
+       event_type AS last_type
+FROM passing
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+  AND event_type <> 'error'
+ORDER BY doc_id
+"""
+
+
 _DML_ROOTS: dict[str, str] = {}
 
 
@@ -240,6 +282,96 @@ ORDER BY doc_id
 """
 
 
+_MERGE_ROOTS: dict[str, str] = {}
+
+
+def cdc_merge_into_state(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO (cdc/merge.py — the Delta ``MERGE INTO … USING``
+    analog) driven end-to-end: replay the full change stream, then
+    merge a deterministic source frame — one row per ``user_id % 3 ==
+    0`` with a rewritten payload — with when_matched='update',
+    when_not_matched='insert'. Keys the stream had DELETED (or never
+    created) re-enter via the insert clause; live keys take the source
+    payload; every other key keeps its replayed state. The oracle
+    recomputes latest-state with one window and stitches the same
+    overlay with an anti-join + union."""
+    from ..cdc.merge import merge_into
+
+    cached = _MERGE_ROOTS.get(sf)
+    if cached is None or not LakeTable.exists(cached):
+        events = T(spark, sf, "events")
+        stream = _as_change_stream(events)
+        n = events.agg(F.max("event_id")).collect()[0][0] or 0
+        tmp = os.path.join(
+            tempfile.gettempdir(),
+            f"cdc_merge_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        root = f"{tmp}/t"
+        table = LakeTable.create(root, n_buckets=8, schema_version=2)
+        replay(spark, stream, table, chunk_size=max(int(n) // 4, 1))
+        src = (
+            events.select("user_id")
+            .distinct()
+            .filter(F.col("user_id") % 3 == 0)
+            .select(
+                F.concat(F.lit("u"), F.col("user_id")).alias("doc_id"),
+                F.array(
+                    (F.col("user_id") * 2).cast("int"),
+                    F.col("user_id").cast("int"),
+                    F.lit(0),
+                ).alias("tokens"),
+                F.lit(3).cast("long").alias("n_tok"),
+                F.lit("merge").alias("source"),
+                F.lit("m").alias("lang"),
+            )
+        )
+        merge_into(spark, LakeTable.load(root), src)
+        _MERGE_ROOTS[sf] = root
+    final = LakeTable.load(_MERGE_ROOTS[sf]).read(spark)
+    return final.select(
+        "doc_id",
+        F.element_at("tokens", 1).alias("tok_value"),
+        F.element_at("tokens", 2).alias("tok_user"),
+        F.element_at("tokens", 3).alias("last_lsn"),
+        "n_tok",
+        F.col("source").alias("last_type"),
+        "lang",
+    ).orderBy("doc_id")
+
+
+CDC_MERGE_INTO_STATE_SQL = """
+WITH latest AS (
+  SELECT concat('u', user_id) AS doc_id, user_id,
+         CAST(FLOOR(value * 100) AS INT) AS tok_value,
+         CAST(user_id AS INT) AS tok_user,
+         CAST(event_id AS INT) AS last_lsn,
+         CAST(3 AS BIGINT) AS n_tok,
+         event_type AS last_type
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+    AND event_type <> 'error'
+), src AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 3 = 0
+)
+SELECT doc_id, tok_value, tok_user, last_lsn, n_tok, last_type,
+       CAST(NULL AS VARCHAR) AS lang
+FROM latest
+WHERE user_id NOT IN (SELECT user_id FROM src)
+UNION ALL
+SELECT concat('u', user_id) AS doc_id,
+       CAST(user_id * 2 AS INT) AS tok_value,
+       CAST(user_id AS INT) AS tok_user,
+       0 AS last_lsn,
+       CAST(3 AS BIGINT) AS n_tok,
+       'merge' AS last_type,
+       'm' AS lang
+FROM src
+ORDER BY doc_id
+"""
+
+
 CDC_REPLAY_LATEST_STATE_SQL = """
 SELECT concat('u', user_id) AS doc_id,
        CAST(FLOOR(value * 100) AS INT) AS tok_value,
@@ -259,4 +391,6 @@ QUERIES = {
     "cdc_replay_mor_state": (cdc_replay_mor_state, CDC_REPLAY_LATEST_STATE_SQL),
     "cdc_change_feed": (cdc_change_feed, CDC_CHANGE_FEED_SQL),
     "cdc_dml_state": (cdc_dml_state, CDC_DML_STATE_SQL),
+    "cdc_constrained_replay": (cdc_constrained_replay, CDC_CONSTRAINED_REPLAY_SQL),
+    "cdc_merge_into_state": (cdc_merge_into_state, CDC_MERGE_INTO_STATE_SQL),
 }

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..schemas import EVENTS_SCHEMA
 from ..cdc.apply import apply_batch
+from ..cdc.constraints import fail_on_violations, split_violations, violation_reason
 from ..cdc.quarantine import POLICIES, malformed_reason, split_malformed
 from ..cdc.table import LakeTable
 
@@ -90,6 +91,7 @@ def stream_replay(
     available_now: bool = True,
     timeout_sec: float | None = None,
     on_malformed: str = "fail",
+    on_violation: str = "fail",
     quarantine_dir: str | None = None,
 ) -> dict:
     """Drain the change stream at ``events_dir`` into the LakeTable at
@@ -111,15 +113,34 @@ def stream_replay(
     """
     if on_malformed not in POLICIES:
         raise ValueError(f"on_malformed must be one of {POLICIES}, got {on_malformed!r}")
-    totals = {"epochs": 0, "rows_applied": 0, "epochs_skipped": 0, "rows_quarantined": 0, "rows_dropped": 0}
+    if on_violation not in POLICIES:
+        raise ValueError(f"on_violation must be one of {POLICIES}, got {on_violation!r}")
+    totals = {
+        "epochs": 0,
+        "rows_applied": 0,
+        "epochs_skipped": 0,
+        "rows_quarantined": 0,
+        "rows_dropped": 0,
+        "rows_violating": 0,
+    }
 
     def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         table = LakeTable.load(table_root)
         reason = malformed_reason(table.key_col)
+        # CHECK constraints (cdc/constraints.py) ride the same epoch
+        # bounds aggregation as the malformed count — one job either
+        # way. Violations are counted among WELL-FORMED rows only: a
+        # row that is both malformed and violating follows the
+        # malformed policy (it is diverted before the constraint check
+        # sees the frame), so the count must match what remains.
+        vreason = violation_reason(table.constraints)
         bounds = batch_df.agg(
             F.min("lsn").alias("lo"),
             F.max("lsn").alias("hi"),
             F.count_if(reason.isNotNull()).alias("bad"),
+            F.count_if(vreason.isNotNull() & reason.isNull()).alias("viol")
+            if vreason is not None
+            else F.lit(0).alias("viol"),
         ).collect()[0]
         n_bad = int(bounds["bad"] or 0)
         if n_bad:
@@ -139,6 +160,20 @@ def stream_replay(
             else:
                 totals["rows_dropped"] += n_bad
             batch_df = clean
+        n_viol = int(bounds["viol"] or 0)
+        if n_viol:
+            if on_violation == "fail":
+                fail_on_violations(
+                    batch_df, table.constraints, n_viol, context=f"epoch {epoch_id}"
+                )
+            passing, violating = split_violations(batch_df, table.constraints)
+            if on_violation == "quarantine":
+                qdir = quarantine_dir or os.path.join(table.root, "_quarantine")
+                violating.write.mode("overwrite").parquet(
+                    os.path.join(qdir, f"epoch-{epoch_id}-checks")
+                )
+            totals["rows_violating"] += n_viol
+            batch_df = passing
         if bounds["lo"] is None:
             return
         res = apply_batch(

@@ -210,6 +210,33 @@ def cmd_update_where(spark, args) -> dict:
     )
 
 
+def cmd_merge(spark, args) -> dict:
+    from medallion_etl_spark.cdc.merge import merge_into
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    return merge_into(
+        spark,
+        LakeTable.load(_table_root(args.out)),
+        spark.read.parquet(args.source),
+        when_matched=args.when_matched,
+        when_not_matched=args.when_not_matched,
+    )
+
+
+def cmd_add_constraint(spark, args) -> dict:
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    return LakeTable.load(_table_root(args.out)).add_constraint(
+        spark, args.name, args.predicate
+    )
+
+
+def cmd_drop_constraint(spark, args) -> dict:
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    return LakeTable.load(_table_root(args.out)).drop_constraint(args.name)
+
+
 def cmd_history(spark, args) -> dict:
     from medallion_etl_spark.cdc.table import LakeTable
 
@@ -284,6 +311,15 @@ def main() -> None:
         required=True,
         help="column=expression (repeatable); expressions see the current row",
     )
+    p = sub.add_parser("merge")
+    p.add_argument("--source", required=True, help="parquet dir of payload rows keyed by the table key")
+    p.add_argument("--when-matched", default="update", choices=["update", "delete", "skip"])
+    p.add_argument("--when-not-matched", default="insert", choices=["insert", "skip"])
+    p = sub.add_parser("add-constraint")
+    p.add_argument("name")
+    p.add_argument("predicate", help="CHECK predicate; existing rows are validated first")
+    p = sub.add_parser("drop-constraint")
+    p.add_argument("name")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -303,6 +339,9 @@ def main() -> None:
         "rebucket": cmd_rebucket,
         "delete-where": cmd_delete_where,
         "update-where": cmd_update_where,
+        "merge": cmd_merge,
+        "add-constraint": cmd_add_constraint,
+        "drop-constraint": cmd_drop_constraint,
     }
     result = dispatch[args.layer](spark, args)
     print(json.dumps({"command": args.layer, "ok": True, "result": result}, default=str))

@@ -61,6 +61,13 @@ def main() -> None:
         help="events with NULL lsn/key or unknown op: fail the replay "
         "(default), divert to <table>/_quarantine, or discard",
     )
+    ap.add_argument(
+        "--on-violation",
+        default="fail",
+        choices=["fail", "quarantine", "drop"],
+        help="events violating the table's CHECK constraints: fail the "
+        "replay (default), divert to <table>/_quarantine/…-checks, or discard",
+    )
     ap.add_argument("--n-salts", type=int, default=16)
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--parallelism", type=int, default=None)
@@ -89,6 +96,7 @@ def main() -> None:
             write_mode=args.write_mode,
             max_files_per_trigger=args.max_files_per_trigger,
             on_malformed=args.on_malformed,
+            on_violation=args.on_violation,
         )
     else:
         events = spark.read.schema(EVENTS_SCHEMA).parquet(args.events)
@@ -101,6 +109,7 @@ def main() -> None:
             n_salts=args.n_salts,
             write_mode=args.write_mode,
             on_malformed=args.on_malformed,
+            on_violation=args.on_violation,
         )
     res["wall_sec"] = round(time.perf_counter() - t0, 3)
     res["final_rows"] = LakeTable.load(args.table).read(spark).count()

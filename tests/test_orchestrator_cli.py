@@ -115,3 +115,24 @@ def test_dml_via_cli(spark, tmp_path, sf_tiny):
     )
     assert dele["rows_deleted"] == upd["rows_updated"]
     assert LakeTable.load(root).read(spark).count() == before - dele["rows_deleted"]
+
+
+def test_constraints_via_cli(spark, tmp_path, sf_tiny):
+    from scripts.orchestrator import (
+        _table_root,
+        cmd_add_constraint,
+        cmd_drop_constraint,
+    )
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    cmd_bronze(spark, _args(tmp_path, sf_tiny))
+    root = _table_root(str(tmp_path))
+
+    res = cmd_add_constraint(
+        spark, _args(tmp_path, sf_tiny, name="tok_pos", predicate="n_tok >= 0")
+    )
+    assert res["constraint"] == "tok_pos"
+    assert LakeTable.load(root).constraints == {"tok_pos": "n_tok >= 0"}
+
+    cmd_drop_constraint(spark, _args(tmp_path, sf_tiny, name="tok_pos"))
+    assert LakeTable.load(root).constraints == {}
