@@ -266,6 +266,50 @@ class LakeTable:
             )
         return cls(root, meta)
 
+    @classmethod
+    def load_as_of(cls, root: str, timestamp) -> "LakeTable":
+        """Time travel by TIMESTAMP (the Delta ``TIMESTAMP AS OF``
+        analog): open the newest snapshot committed at or before
+        ``timestamp`` — a unix float/int, a ``datetime``, or an ISO
+        string (naive values are interpreted in local time, matching
+        ``datetime.timestamp()``).
+
+        Commit times come from each retained version document's
+        ``committed_at_unix`` (version 0 — creation — falls back to the
+        file's mtime: it is written once and never touched). Cost is
+        O(retained versions) of driver-side JSON reads, no Spark job.
+        A timestamp before the oldest retained snapshot raises — after
+        ``expire_snapshots`` that history is genuinely gone."""
+        import datetime as _dt
+
+        if isinstance(timestamp, str):
+            timestamp = _dt.datetime.fromisoformat(timestamp)
+        if isinstance(timestamp, _dt.datetime):
+            timestamp = timestamp.timestamp()
+        ts = float(timestamp)
+        md_dir = os.path.join(root, "metadata")
+        best: int | None = None
+        earliest: float | None = None
+        for name in os.listdir(md_dir):
+            if not (name.startswith("version-") and name.endswith(".json")):
+                continue
+            v = int(name.removeprefix("version-").removesuffix(".json"))
+            path = os.path.join(md_dir, name)
+            with open(path) as f:
+                committed_at = json.load(f).get("committed_at_unix")
+            if committed_at is None:
+                committed_at = os.path.getmtime(path)
+            earliest = committed_at if earliest is None else min(earliest, committed_at)
+            if committed_at <= ts and (best is None or v > best):
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before unix {ts} at {root}: the oldest "
+                f"retained commit is unix {earliest} (earlier history may "
+                "have been removed by expire_snapshots)"
+            )
+        return cls.load_version(root, best)
+
     # ---- properties ------------------------------------------------------
 
     @property
@@ -538,6 +582,20 @@ class LakeTable:
                 allow_incomplete=allow_incomplete,
             )
         old = LakeTable.load_version(self.root, since_version)
+        # a RESTORE inside the span resurrects rows at their ORIGINAL
+        # LSNs — below the old watermark, so the `_lsn > watermark`
+        # pruning below would silently miss them (and miss un-deletes
+        # entirely). No completeness flag can fix that; the downstream
+        # must re-bootstrap from the current snapshot.
+        last_restore = int(self.meta.get("last_restore_commit", 0))
+        if since_version < last_restore:
+            raise ValueError(
+                f"change feed since version {since_version} crosses the "
+                f"RESTORE committed at version {last_restore}: restored "
+                "rows carry pre-restore LSNs that an LSN-watermark feed "
+                "cannot represent — re-bootstrap the downstream from the "
+                "current snapshot (or feed from a version >= the restore)."
+            )
         watermark = old.max_committed_lsn()
         purge_lsn = int(self.meta.get("compaction_watermark_lsn", -1))
         if watermark < purge_lsn and not allow_incomplete:
@@ -623,6 +681,53 @@ class LakeTable:
             changed_keys, F.col(key).eqNullSafe(F.col("_ck")), "left_semi"
         ).withColumn("_change_type", F.lit("update_preimage"))
         return feed.unionByName(pre)
+
+    def restore(self, version: int) -> dict:
+        """Roll the table back to ``version`` — the Delta ``RESTORE
+        TABLE … TO VERSION AS OF`` analog — by COMMITTING a new version
+        whose data-bearing fields (bucket pointers, batch manifest,
+        schema version, bucket count, clustering, compaction watermark)
+        are the old snapshot's. History is preserved: this is a
+        roll-FORWARD to an old state, so time travel to the undone
+        versions still works and the restore itself is one atomic,
+        concurrency-checked commit (copy-on-write makes it pure
+        metadata — the old dirs still exist while ``version`` is
+        retained; a version removed by ``expire_snapshots`` raises).
+
+        Rolling the MANIFEST back together with the data is what makes
+        resume-after-restore correct: batches committed after
+        ``version`` become pending again, so re-feeding the stream
+        re-applies exactly the undone chunks and converges to the
+        pre-restore head (order-independent LWW).
+
+        Restored rows carry their ORIGINAL LSNs, which an LSN-watermark
+        change feed cannot represent (a resurrected row is below every
+        post-restore watermark) — the commit records itself in
+        ``last_restore_commit`` and ``read_changes`` refuses to span
+        it. CHECK constraints are metadata, not data: they stay as they
+        are now and are NOT re-validated against the restored rows
+        (Delta behaves the same)."""
+        if version >= self.version:
+            raise ValueError(
+                f"cannot restore to version {version}: table is at "
+                f"{self.version} (restore targets a STRICTLY older snapshot)"
+            )
+        old = LakeTable.load_version(self.root, version)
+        self.commit(
+            {},
+            set(),
+            None,
+            meta_updates={
+                "buckets": old.meta["buckets"],
+                "committed_batches": old.meta["committed_batches"],
+                "schema_version": old.meta["schema_version"],
+                "n_buckets": old.meta["n_buckets"],
+                "clustering": old.meta.get("clustering"),
+                "compaction_watermark_lsn": old.meta.get("compaction_watermark_lsn", -1),
+                "last_restore_commit": self.version + 1,
+            },
+        )
+        return {"restored_to": version, "version": self.version}
 
     def lookup(
         self, spark: SparkSession, keys: list, columns: list[str] | None = None
@@ -803,6 +908,55 @@ class LakeTable:
             "buckets_written": sorted(new_dirs),
         }
 
+    def clone_to(self, dst_root: str) -> "LakeTable":
+        """Zero-copy SHALLOW CLONE (the Delta ``CREATE TABLE … SHALLOW
+        CLONE`` analog): a new table whose version-0 metadata points at
+        THIS snapshot's data files — no data is copied, the clone is
+        O(metadata) regardless of table size.
+
+        The clone carries the source's bucket entries rewritten to
+        ABSOLUTE paths (every reader resolves dirs with
+        ``os.path.join(root, dir)``, which passes absolute paths
+        through), plus the batch manifest (so replaying the same stream
+        into the clone dedupes redeliveries exactly like the source
+        would), schema version, clustering, compaction watermark and
+        CHECK constraints. From there the two tables diverge freely:
+        copy-on-write means every write lands in NEW dirs under the
+        writer's own root, so neither side can touch the other's data —
+        and a compaction in the clone rewrites it onto clone-local
+        files, making it self-contained.
+
+        Shared-file hazard (same as Delta): ``expire_snapshots`` /
+        ``remove_orphans`` on the SOURCE do not know about clones — if
+        the source later rewrites buckets and expires the shared
+        snapshot, the clone's absolute references dangle. Compact the
+        clone (self-contain it) before aggressive source retention.
+        The clone's own expiry is safe by construction: absolute
+        references never match its local ``data/`` names, so they are
+        simply never up for deletion."""
+        if LakeTable.exists(dst_root):
+            raise ValueError(f"destination {dst_root} is already a table")
+        src_root = os.path.abspath(self.root)
+
+        def absolutize(d: str) -> str:
+            return d if os.path.isabs(d) else os.path.join(src_root, d)
+
+        meta = json.loads(json.dumps(self.meta))  # deep copy
+        for entry in meta["buckets"].values():
+            entry["dir"] = absolutize(entry["dir"])
+            for d in entry.get("deltas", []):
+                d["dir"] = absolutize(d["dir"])
+        meta["version"] = 0
+        meta["cloned_from"] = {"root": src_root, "version": self.version}
+        # version numbers restart at 0: a restore-guard watermark from
+        # the source's numbering would block feeds in the clone's
+        meta.pop("last_restore_commit", None)
+        os.makedirs(os.path.join(dst_root, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(dst_root, "data"), exist_ok=True)
+        clone = LakeTable(dst_root, meta)
+        clone._write_metadata(meta)
+        return clone
+
     def expire_snapshots(self, *, keep_last: int = 1) -> dict:
         """Storage reclamation (the Iceberg ``expire_snapshots`` /
         Delta VACUUM analog): drop metadata versions older than the
@@ -900,6 +1054,7 @@ class LakeTable:
             record = {
                 "version": v,
                 "schema_version": int(meta.get("schema_version", 1)),
+                "committed_at_unix": meta.get("committed_at_unix"),
                 "baseline": baseline,
                 "max_committed_lsn": max(
                     (int(r["lsn_hi"]) for r in meta["committed_batches"].values()),

@@ -210,6 +210,19 @@ def cmd_update_where(spark, args) -> dict:
     )
 
 
+def cmd_clone(spark, args) -> dict:
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    clone = LakeTable.load(_table_root(args.out)).clone_to(args.dst)
+    return {"cloned_to": clone.root, "source_version": clone.meta["cloned_from"]["version"]}
+
+
+def cmd_restore(spark, args) -> dict:
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    return LakeTable.load(_table_root(args.out)).restore(int(args.version))
+
+
 def cmd_merge(spark, args) -> dict:
     from medallion_etl_spark.cdc.merge import merge_into
     from medallion_etl_spark.cdc.table import LakeTable
@@ -246,7 +259,14 @@ def cmd_history(spark, args) -> dict:
 def cmd_snapshot(spark, args) -> dict:
     from medallion_etl_spark.cdc.table import LakeTable
 
-    snap = LakeTable.load_version(_table_root(args.out), int(args.version))
+    if getattr(args, "as_of", False):
+        try:
+            ts = float(args.version)
+        except ValueError:
+            ts = args.version  # ISO string; load_as_of parses it
+        snap = LakeTable.load_as_of(_table_root(args.out), ts)
+    else:
+        snap = LakeTable.load_version(_table_root(args.out), int(args.version))
     return {
         "version": snap.version,
         "rows": snap.read(spark).count(),
@@ -297,7 +317,15 @@ def main() -> None:
     p = sub.add_parser("changes")
     p.add_argument("since_version")
     p = sub.add_parser("snapshot")
-    p.add_argument("version")
+    p.add_argument(
+        "version",
+        help="version number, or with --as-of an ISO timestamp / unix seconds",
+    )
+    p.add_argument(
+        "--as-of",
+        action="store_true",
+        help="treat VERSION as a timestamp: newest snapshot committed at or before it",
+    )
     sub.add_parser("history")
     p = sub.add_parser("rebucket")
     p.add_argument("n_buckets")
@@ -311,6 +339,10 @@ def main() -> None:
         required=True,
         help="column=expression (repeatable); expressions see the current row",
     )
+    p = sub.add_parser("clone")
+    p.add_argument("--dst", required=True, help="root for the zero-copy shallow clone")
+    p = sub.add_parser("restore")
+    p.add_argument("version", help="older snapshot version to roll the table back to")
     p = sub.add_parser("merge")
     p.add_argument("--source", required=True, help="parquet dir of payload rows keyed by the table key")
     p.add_argument("--when-matched", default="update", choices=["update", "delete", "skip"])
@@ -339,6 +371,8 @@ def main() -> None:
         "rebucket": cmd_rebucket,
         "delete-where": cmd_delete_where,
         "update-where": cmd_update_where,
+        "clone": cmd_clone,
+        "restore": cmd_restore,
         "merge": cmd_merge,
         "add-constraint": cmd_add_constraint,
         "drop-constraint": cmd_drop_constraint,

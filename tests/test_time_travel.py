@@ -352,3 +352,27 @@ def test_bounded_change_feed_until_version(spark, replayed):
     assert table.read_changes(spark, since_version=2, until_version=2).count() == 0
     with pytest.raises(ValueError, match="until_version"):
         table.read_changes(spark, since_version=2, until_version=1)
+
+
+def test_load_as_of_timestamp(spark, replayed):
+    """Delta TIMESTAMP AS OF analog: newest snapshot committed at or
+    before the timestamp; unix / datetime / ISO forms agree; a time
+    before creation raises."""
+    import datetime as dt
+
+    table, _ = replayed
+    hist = {h["version"]: h["committed_at_unix"] for h in table.history()}
+    assert hist[1] and hist[2] and hist[3]
+
+    assert LakeTable.load_as_of(table.root, hist[2]).version == 2
+    # just before version 2's commit -> version 1 (chunks are seconds
+    # apart; a sub-millisecond gap would mean the clock never ticked)
+    assert LakeTable.load_as_of(table.root, hist[2] - 1e-4).version == 1
+    assert LakeTable.load_as_of(table.root, hist[3] + 3600).version == 3
+
+    with pytest.raises(ValueError, match="no snapshot"):
+        LakeTable.load_as_of(table.root, 1.0)
+
+    as_dt = dt.datetime.fromtimestamp(hist[3] + 1)
+    assert LakeTable.load_as_of(table.root, as_dt).version == 3
+    assert LakeTable.load_as_of(table.root, as_dt.isoformat()).version == 3
