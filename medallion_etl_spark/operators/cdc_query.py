@@ -282,6 +282,63 @@ ORDER BY doc_id
 """
 
 
+_CONVERT_ROOTS: dict[str, str] = {}
+
+
+def cdc_convert_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """CONVERT bootstrap (cdc/bootstrap.py — Delta ``CONVERT TO
+    DELTA`` analog) driven end-to-end: map the driver's ``documents``
+    table onto the docs schema (tokens carry [n_chars, doc_id] so the
+    oracle can check the array round-trip), convert it into a LakeTable
+    in one bulk commit at LSN 0, and read it back. The oracle is the
+    identity mapping over the raw parquet — converting must lose or
+    invent nothing."""
+    from ..cdc.bootstrap import convert_from_parquet
+
+    cached = _CONVERT_ROOTS.get(sf)
+    if cached is None or not LakeTable.exists(cached):
+        docs = T(spark, sf, "documents")
+        mapped = docs.select(
+            F.concat(F.lit("d"), F.col("doc_id")).alias("doc_id"),
+            F.array(
+                F.col("n_chars").cast("int"), F.col("doc_id").cast("int")
+            ).alias("tokens"),
+            F.col("n_chars").cast("long").alias("n_tok"),
+            "source",
+            "lang",
+        )
+        tmp = os.path.join(
+            tempfile.gettempdir(),
+            f"cdc_convert_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        root = f"{tmp}/t"
+        convert_from_parquet(spark, mapped, root, n_buckets=8, schema_version=3)
+        _CONVERT_ROOTS[sf] = root
+    final = LakeTable.load(_CONVERT_ROOTS[sf]).read(spark)
+    return final.select(
+        "doc_id",
+        F.element_at("tokens", 1).alias("tok_chars"),
+        F.element_at("tokens", 2).alias("tok_id"),
+        "n_tok",
+        "source",
+        "lang",
+    ).orderBy("doc_id")
+
+
+CDC_CONVERT_DOCUMENTS_SQL = """
+SELECT concat('d', doc_id) AS doc_id,
+       CAST(n_chars AS INT) AS tok_chars,
+       CAST(doc_id AS INT) AS tok_id,
+       n_chars AS n_tok,
+       source,
+       lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
 _MERGE_ROOTS: dict[str, str] = {}
 
 
@@ -393,4 +450,5 @@ QUERIES = {
     "cdc_dml_state": (cdc_dml_state, CDC_DML_STATE_SQL),
     "cdc_constrained_replay": (cdc_constrained_replay, CDC_CONSTRAINED_REPLAY_SQL),
     "cdc_merge_into_state": (cdc_merge_into_state, CDC_MERGE_INTO_STATE_SQL),
+    "cdc_convert_documents": (cdc_convert_documents, CDC_CONVERT_DOCUMENTS_SQL),
 }

@@ -100,6 +100,18 @@ class LakeFeedStreamReader(DataSourceStreamReader):
             return []
         old = LakeTable.load_version(self.root, start_v)
         new = LakeTable.load_version(self.root, end_v)
+        # restore gate (same reason as read_changes): a RESTORE inside
+        # the span resurrects rows at their ORIGINAL LSNs — below this
+        # watermark — which the `_lsn > watermark` pruning would
+        # silently miss. Fail the query; the downstream re-bootstraps.
+        last_restore = int(new.meta.get("last_restore_commit", 0))
+        if start_v < last_restore:
+            raise ValueError(
+                f"stream offset version {start_v} predates the RESTORE "
+                f"committed at version {last_restore}: restored rows carry "
+                "pre-restore LSNs the feed cannot represent — restart the "
+                "stream from a fresh bootstrap"
+            )
         watermark = old.max_committed_lsn()
         purge_lsn = int(new.meta.get("compaction_watermark_lsn", -1))
         if watermark < purge_lsn:

@@ -210,6 +210,18 @@ def cmd_update_where(spark, args) -> dict:
     )
 
 
+def cmd_convert(spark, args) -> dict:
+    from medallion_etl_spark.cdc.bootstrap import convert_from_parquet
+
+    return convert_from_parquet(
+        spark,
+        args.source,
+        _table_root(args.out),
+        n_buckets=int(args.n_buckets),
+        schema_version=int(args.schema_version),
+    )
+
+
 def cmd_clone(spark, args) -> dict:
     from medallion_etl_spark.cdc.table import LakeTable
 
@@ -339,6 +351,10 @@ def main() -> None:
         required=True,
         help="column=expression (repeatable); expressions see the current row",
     )
+    p = sub.add_parser("convert")
+    p.add_argument("--source", required=True, help="parquet dir shaped like the docs schema")
+    p.add_argument("--n-buckets", default="16")
+    p.add_argument("--schema-version", default="1")
     p = sub.add_parser("clone")
     p.add_argument("--dst", required=True, help="root for the zero-copy shallow clone")
     p = sub.add_parser("restore")
@@ -371,6 +387,7 @@ def main() -> None:
         "rebucket": cmd_rebucket,
         "delete-where": cmd_delete_where,
         "update-where": cmd_update_where,
+        "convert": cmd_convert,
         "clone": cmd_clone,
         "restore": cmd_restore,
         "merge": cmd_merge,

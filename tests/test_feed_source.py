@@ -192,3 +192,23 @@ def test_partition_planning_is_bucket_diff(spark, built):
     }
     assert len(parts) == len(changed_dirs) > 0
     assert reader.partitions({"version": 2}, {"version": 2}) == []
+
+
+def test_feed_refuses_to_span_a_restore(spark, built, tmp_path):
+    """A RESTORE inside the offset span resurrects rows at pre-restore
+    LSNs, which the feed's watermark pruning cannot represent — the
+    partition planner must fail the query (same contract as the batch
+    read_changes restore gate), and a stream starting AT the restore
+    commit works."""
+    from medallion_etl_spark.streaming.feed_source import LakeFeedStreamReader
+
+    table, _ = built
+    LakeTable.load(table.root).restore(1)
+
+    reader = LakeFeedStreamReader({"path": table.root})
+    with pytest.raises(ValueError, match="RESTORE"):
+        reader.partitions({"version": 1}, {"version": 3})
+
+    # starting at the restore commit is fine (span contains no restore)
+    got = _drain(spark, table.root, "feed_post_restore", str(tmp_path / "ckr"), start_version=3)
+    assert got.count() == 0  # nothing committed after the restore yet
