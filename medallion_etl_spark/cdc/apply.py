@@ -102,6 +102,7 @@ def apply_batch(
     precomputed_stats: list[dict] | None = None,
     write_mode: str = "cow",
     mor_max_deltas: int = 8,
+    skip_empty_commit: bool = False,
 ) -> dict:
     """Apply one LSN-chunk of change events. Idempotent: an already
     committed batch_id is a no-op; a crash before commit leaves the
@@ -208,6 +209,12 @@ def apply_batch(
     mark("stats")
     changed = sorted(int(r["_bucket"]) for r in stats)
     if not changed:
+        # ``skip_empty_commit``: a no-match DML/merge must be a true
+        # no-op (no commit, no new version) — the empty-batch manifest
+        # record only matters for REPLAY chunks, where resume must not
+        # re-read a planned-but-empty LSN range
+        if skip_empty_commit:
+            return {"batch_id": batch_id, "rows_applied": 0, "buckets": [], "skipped_empty": True}
         table.commit({}, set(), (batch_id, {"lsn_lo": lsn_lo, "lsn_hi": lsn_hi, "rows_applied": 0}))
         return {"batch_id": batch_id, "rows_applied": 0, "buckets": []}
 

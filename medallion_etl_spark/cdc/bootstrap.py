@@ -20,6 +20,7 @@ the same determinism rule MERGE INTO applies to its source.
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,6 +56,14 @@ def convert_from_parquet(
     removes the half-created root — convert is all-or-nothing."""
     if LakeTable.exists(root):
         raise ValueError(f"{root} is already a table")
+    if os.path.exists(root):
+        # convert must own the root outright: the all-or-nothing
+        # cleanup below removes the WHOLE directory on failure, which
+        # is only safe for a directory this call created
+        raise ValueError(
+            f"{root} already exists (and is not a table): convert creates "
+            "a fresh root — point it at a path that does not exist yet"
+        )
     df = spark.read.parquet(source) if isinstance(source, str) else source
     fields = DOCS_SCHEMAS[schema_version].fields
     missing = [f.name for f in fields if f.name not in df.columns]

@@ -58,19 +58,22 @@ def violation_reason(constraints: dict[str, str], *, op_aware: bool = True) -> C
 def violation_counts(df: DataFrame, constraints: dict[str, str], *, op_aware: bool = True) -> dict[str, int]:
     """Per-constraint violation counts in one aggregation — the ERROR
     path's diagnostic (the clean path never runs this; its single total
-    rides the caller's existing aggregation)."""
-    aggs = []
-    for name in sorted(constraints):
-        cond = F.expr(f"({constraints[name]}) IS FALSE")
-        if op_aware:
-            cond = ~F.col("op").eqNullSafe(F.lit("D")) & cond
-        aggs.append(F.count_if(cond).alias(f"check:{name}"))
-    row = df.agg(*aggs).collect()[0]
-    return {
-        f"check:{name}": int(row[f"check:{name}"])
-        for name in sorted(constraints)
-        if int(row[f"check:{name}"])
-    }
+    rides the caller's existing aggregation).
+
+    Counts by the same first-violated-constraint attribution the
+    ``_reason`` tag uses, so a row violating several constraints is
+    counted ONCE and the per-constraint detail always sums to the
+    caller's total — independent per-predicate counts would overstate
+    it and send the operator hunting for phantom rows."""
+    reason = violation_reason(constraints, op_aware=op_aware)
+    rows = (
+        df.select(reason.alias("_r"))
+        .filter(F.col("_r").isNotNull())
+        .groupBy("_r")
+        .count()
+        .collect()
+    )
+    return {r["_r"]: int(r["count"]) for r in sorted(rows, key=lambda r: r["_r"])}
 
 
 def split_violations(events: DataFrame, constraints: dict[str, str]) -> tuple[DataFrame, DataFrame]:

@@ -62,13 +62,16 @@ def _apply_dml(
 ) -> tuple[dict | None, LakeTable]:
     """Shared retry loop: re-derive everything from a fresh snapshot on
     a commit conflict. Returns (apply result or None-if-no-match,
-    the table handle that committed)."""
+    the table handle that committed).
+
+    No separate match-count job: ``apply_batch``'s own per-bucket stats
+    aggregation already counts every event, so ``rows_matched`` is read
+    from its result and the no-match case surfaces as
+    ``skipped_empty`` (true no-op: no commit, no new version) — one
+    scan of the snapshot per attempt, not two."""
     for attempt in range(3):
         lsn = table.max_committed_lsn() + 1
         events = build_events(table, lsn)
-        n = events.count()
-        if n == 0:
-            return None, table
         try:
             res = apply_batch(
                 spark,
@@ -78,14 +81,18 @@ def _apply_dml(
                 lsn_lo=lsn,
                 lsn_hi=lsn,
                 write_mode=write_mode,
+                skip_empty_commit=True,
             )
-            res["rows_matched"] = n
-            res["lsn"] = lsn
-            return res, table
         except RuntimeError as exc:
             if "fork/rewind" not in str(exc) or attempt == 2:
                 raise
             table = LakeTable.load(table.root)
+            continue
+        if res.get("skipped_empty"):
+            return None, table
+        res["rows_matched"] = res["rows_applied"]
+        res["lsn"] = lsn
+        return res, table
     raise AssertionError("unreachable")
 
 
@@ -130,7 +137,10 @@ def delete_where(
         "committed": True,
         "batch_id": res["batch_id"],
         "lsn": res["lsn"],
-        "version": LakeTable.load(table.root).version,
+        # the committed handle's own version (commit updates it in
+        # place) — reloading HEAD here could misattribute a concurrent
+        # writer's later commit to this DML
+        "version": table.version,
     }
 
 
@@ -182,5 +192,5 @@ def update_where(
         "committed": True,
         "batch_id": res["batch_id"],
         "lsn": res["lsn"],
-        "version": LakeTable.load(table.root).version,
+        "version": table.version,
     }

@@ -53,11 +53,14 @@ def pending_chunks(table: LakeTable, chunks: list[tuple[int, int, int]]) -> list
                 raise RuntimeError(
                     f"batch_id {bid} already committed for LSN range "
                     f"[{rec['lsn_lo']}, {rec['lsn_hi']}] but this replay plans "
-                    f"[{lo}, {hi}] for it: the stream window moved (or "
-                    "chunk_size changed), so skipping would silently drop "
-                    "events. Replay the full stream from its original "
-                    "lsn_min with the original chunk_size, or use the "
-                    "streaming replayer for a moving tail."
+                    f"[{lo}, {hi}] for it: the stream window moved, "
+                    "chunk_size changed, or the stream GREW past a committed "
+                    "partial final chunk — skipping would silently drop "
+                    "events. Recovery: replay only the NEW events as an "
+                    "LSN-range partial refresh (scripts/orchestrator.py "
+                    "partial-refresh — own batch-id namespace, idempotent, "
+                    f"start it at LSN {int(rec['lsn_hi']) + 1}), or use the "
+                    "streaming replayer for a continuously moving tail."
                 )
             continue
         todo.append((bid, lo, hi))

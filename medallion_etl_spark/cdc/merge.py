@@ -137,5 +137,5 @@ def merge_into(
         "committed": True,
         "batch_id": res["batch_id"],
         "lsn": res["lsn"],
-        "version": LakeTable.load(table.root).version,
+        "version": table.version,
     }

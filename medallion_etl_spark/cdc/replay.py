@@ -55,8 +55,8 @@ def replay(
     is applied if any event has a NULL lsn/key or an op outside
     {I,U,D} — the count rides the upfront stats job, no extra scan;
     'quarantine' writes the bad rows (+ ``_reason``) to
-    ``quarantine_dir`` (default ``<table>/_quarantine/range-LO-HI``,
-    overwritten on redelivery so resume stays idempotent) and replays
+    ``<quarantine_dir or <table>/_quarantine>/range-LO-HI``
+    (overwritten on redelivery so resume stays idempotent) and replays
     the rest; 'drop' replays the rest and reports the count. Chunk
     PLANNING always uses the raw stream's LSN bounds, so the chunk ids
     a quarantining replay commits are identical to what a clean replay
@@ -95,8 +95,14 @@ def replay(
         n_bad = bad.count()
         if n_bad:
             if on_malformed == "quarantine":
-                quarantine_path = quarantine_dir or os.path.join(
-                    table.root, "_quarantine", f"range-{lsn_min}-{lsn_max}"
+                # a custom quarantine_dir gets the same per-range
+                # sub-dir layout as the default: malformed and
+                # constraint-violation datasets must be SIBLINGS, never
+                # one parquet dataset nested inside another (partition
+                # discovery over the parent would fail or conflate them)
+                quarantine_path = os.path.join(
+                    quarantine_dir or os.path.join(table.root, "_quarantine"),
+                    f"range-{lsn_min}-{lsn_max}",
                 )
                 bad.write.mode("overwrite").parquet(quarantine_path)
                 rows_quarantined = n_bad
@@ -119,12 +125,9 @@ def replay(
         n_viol = violating.count()
         if n_viol:
             if on_violation == "quarantine":
-                violations_path = (
-                    os.path.join(quarantine_dir, "checks")
-                    if quarantine_dir
-                    else os.path.join(
-                        table.root, "_quarantine", f"range-{lsn_min}-{lsn_max}-checks"
-                    )
+                violations_path = os.path.join(
+                    quarantine_dir or os.path.join(table.root, "_quarantine"),
+                    f"range-{lsn_min}-{lsn_max}-checks",
                 )
                 violating.write.mode("overwrite").parquet(violations_path)
             rows_violating = n_viol

@@ -199,7 +199,11 @@ def cdc_constrained_replay(spark: SparkSession, sf: str) -> DataFrame:
 CDC_CONSTRAINED_REPLAY_SQL = """
 WITH passing AS (
   SELECT * FROM events
-  WHERE event_type = 'error' OR CAST(FLOOR(value * 100) AS INT) < 5000
+  -- NULL value => NULL token => CHECK evaluates UNKNOWN => PASSES
+  -- (SQL-standard semantics the engine implements); the oracle must
+  -- keep those rows too, not let the NULL comparison filter them
+  WHERE event_type = 'error' OR value IS NULL
+     OR CAST(FLOOR(value * 100) AS INT) < 5000
 )
 SELECT concat('u', user_id) AS doc_id,
        CAST(FLOOR(value * 100) AS INT) AS tok_value,
