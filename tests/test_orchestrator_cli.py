@@ -136,3 +136,49 @@ def test_constraints_via_cli(spark, tmp_path, sf_tiny):
 
     cmd_drop_constraint(spark, _args(tmp_path, sf_tiny, name="tok_pos"))
     assert LakeTable.load(root).constraints == {}
+
+
+def test_convert_clone_restore_via_cli(spark, tmp_path, sf_tiny):
+    import os
+
+    from scripts.orchestrator import (
+        _table_root,
+        cmd_clone,
+        cmd_convert,
+        cmd_restore,
+    )
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    # bronze a table, snapshot its rows to parquet, CONVERT that parquet
+    src_out = tmp_path / "src"
+    cmd_bronze(spark, _args(src_out, sf_tiny))
+    table = LakeTable.load(_table_root(str(src_out)))
+    n_rows = table.read(spark).count()
+    snap = str(tmp_path / "snap")
+    table.read(spark).write.parquet(snap)
+
+    conv_out = tmp_path / "conv"
+    os.makedirs(conv_out, exist_ok=True)
+    res = cmd_convert(
+        spark,
+        _args(conv_out, sf_tiny, source=snap, n_buckets="8", schema_version="2"),
+    )
+    assert res["rows_converted"] == n_rows
+
+    # CLONE the converted table; the clone reads identically
+    clone_dst = str(tmp_path / "clone_t")
+    cres = cmd_clone(spark, _args(conv_out, sf_tiny, dst=clone_dst))
+    assert cres["cloned_to"] == clone_dst
+    assert LakeTable.load(clone_dst).read(spark).count() == n_rows
+
+    # RESTORE the bronzed table one version back
+    v = table.version
+    rres = cmd_restore(spark, _args(src_out, sf_tiny, version=str(v - 1)))
+    assert rres == {"restored_to": v - 1, "version": v + 1}
+    assert LakeTable.load(_table_root(str(src_out))).version == v + 1
+
+    # snapshot --as-of with a far-future unix timestamp resolves to HEAD
+    snap_res = cmd_snapshot(
+        spark, _args(src_out, sf_tiny, version="9999999999", as_of=True)
+    )
+    assert snap_res["version"] == v + 1
