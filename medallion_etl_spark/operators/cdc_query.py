@@ -286,6 +286,49 @@ ORDER BY doc_id
 """
 
 
+_RESTORE_ROOTS: dict[str, str] = {}
+
+
+def cdc_restore_reconverge(spark: SparkSession, sf: str) -> DataFrame:
+    """RESTORE + resume, pinned by the driver's own correctness gate:
+    replay the full change stream in 4 chunks, RESTORE to the snapshot
+    after chunk 2 (rolling back data AND the batch manifest), then
+    re-feed the SAME stream — the undone chunks are pending again and
+    re-apply — and return the final state. Order-independent LWW means
+    the result must equal the plain latest-state oracle exactly: a
+    restore followed by resume reconverges, losing and inventing
+    nothing (the engine-level guarantee behind
+    tests/test_restore.py::test_resume_after_restore_reconverges,
+    here enforced against DuckDB at every driver run)."""
+    cached = _RESTORE_ROOTS.get(sf)
+    if cached is None or not LakeTable.exists(cached):
+        events = T(spark, sf, "events")
+        stream = _as_change_stream(events)
+        n = events.agg(F.max("event_id")).collect()[0][0] or 0
+        tmp = os.path.join(
+            tempfile.gettempdir(),
+            f"cdc_restore_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        root = f"{tmp}/t"
+        table = LakeTable.create(root, n_buckets=8, schema_version=2)
+        chunk = max(int(n) // 4, 1)
+        replay(spark, stream, table, chunk_size=chunk)
+        LakeTable.load(root).restore(2)
+        replay(spark, stream, LakeTable.load(root), chunk_size=chunk)
+        _RESTORE_ROOTS[sf] = root
+    final = LakeTable.load(_RESTORE_ROOTS[sf]).read(spark)
+    return final.select(
+        "doc_id",
+        F.element_at("tokens", 1).alias("tok_value"),
+        F.element_at("tokens", 2).alias("tok_user"),
+        F.element_at("tokens", 3).alias("last_lsn"),
+        "n_tok",
+        F.col("source").alias("last_type"),
+    ).orderBy("doc_id")
+
+
 _CONVERT_ROOTS: dict[str, str] = {}
 
 
@@ -455,4 +498,5 @@ QUERIES = {
     "cdc_constrained_replay": (cdc_constrained_replay, CDC_CONSTRAINED_REPLAY_SQL),
     "cdc_merge_into_state": (cdc_merge_into_state, CDC_MERGE_INTO_STATE_SQL),
     "cdc_convert_documents": (cdc_convert_documents, CDC_CONVERT_DOCUMENTS_SQL),
+    "cdc_restore_reconverge": (cdc_restore_reconverge, CDC_REPLAY_LATEST_STATE_SQL),
 }
