@@ -682,6 +682,38 @@ class LakeTable:
         ).withColumn("_change_type", F.lit("update_preimage"))
         return feed.unionByName(pre)
 
+    def detail(self) -> dict:
+        """One-call operator summary of the snapshot this handle sees —
+        the Delta ``DESCRIBE DETAIL`` analog. Pure metadata (no Spark
+        job): ``stored_rows`` comes from the per-bucket commit stats
+        and INCLUDES delete tombstones not yet compacted away (the
+        user-visible count needs a read); it is None when any bucket
+        predates counted commits — unknown must never read as 0, the
+        same rule the broadcast gate follows."""
+        buckets = self.meta["buckets"]
+        counted = [e.get("rows") for e in buckets.values()]
+        rows = None if any(r is None for r in counted) else sum(int(r) for r in counted)
+        return {
+            "root": self.root,
+            "format_version": self.meta.get("format_version"),
+            "version": self.version,
+            "committed_at_unix": self.meta.get("committed_at_unix"),
+            "schema_version": self.schema_version,
+            "key_col": self.key_col,
+            "n_buckets": self.n_buckets,
+            "buckets_populated": len(buckets),
+            "delta_dirs": sum(len(e.get("deltas", [])) for e in buckets.values()),
+            "stored_rows": rows,
+            "committed_batches": len(self.meta["committed_batches"]),
+            "max_committed_lsn": self.max_committed_lsn(),
+            "compaction_watermark_lsn": int(self.meta.get("compaction_watermark_lsn", -1)),
+            "clustering": self.meta.get("clustering"),
+            "bloom_key_filter": bool(self.meta.get("bloom_key_filter", False)),
+            "constraints": dict(self.constraints),
+            "cloned_from": self.meta.get("cloned_from"),
+            "last_restore_commit": int(self.meta.get("last_restore_commit", 0)) or None,
+        }
+
     def restore(self, version: int) -> dict:
         """Roll the table back to ``version`` — the Delta ``RESTORE
         TABLE … TO VERSION AS OF`` analog — by COMMITTING a new version

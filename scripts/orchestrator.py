@@ -262,6 +262,12 @@ def cmd_drop_constraint(spark, args) -> dict:
     return LakeTable.load(_table_root(args.out)).drop_constraint(args.name)
 
 
+def cmd_detail(spark, args) -> dict:
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    return LakeTable.load(_table_root(args.out)).detail()
+
+
 def cmd_history(spark, args) -> dict:
     from medallion_etl_spark.cdc.table import LakeTable
 
@@ -339,6 +345,7 @@ def main() -> None:
         help="treat VERSION as a timestamp: newest snapshot committed at or before it",
     )
     sub.add_parser("history")
+    sub.add_parser("detail")
     p = sub.add_parser("rebucket")
     p.add_argument("n_buckets")
     p = sub.add_parser("delete-where")
@@ -384,6 +391,7 @@ def main() -> None:
         "changes": cmd_changes,
         "snapshot": cmd_snapshot,
         "history": cmd_history,
+        "detail": cmd_detail,
         "rebucket": cmd_rebucket,
         "delete-where": cmd_delete_where,
         "update-where": cmd_update_where,

@@ -182,3 +182,28 @@ def test_convert_clone_restore_via_cli(spark, tmp_path, sf_tiny):
         spark, _args(src_out, sf_tiny, version="9999999999", as_of=True)
     )
     assert snap_res["version"] == v + 1
+
+
+def test_detail_via_cli(spark, tmp_path, sf_tiny):
+    from scripts.orchestrator import cmd_detail
+
+    cmd_bronze(spark, _args(tmp_path, sf_tiny))
+    d = cmd_detail(spark, _args(tmp_path, sf_tiny))
+    # rows from per-bucket commit stats (no Spark job), consistent with
+    # an actual read; unknowns would surface as None, never 0
+    from medallion_etl_spark.cdc.table import LakeTable
+    from scripts.orchestrator import _table_root
+
+    table = LakeTable.load(_table_root(str(tmp_path)))
+    live = table.read(spark).count()
+    # stored_rows includes not-yet-compacted tombstones; after a
+    # compaction purges them the two counts must agree
+    assert d["stored_rows"] >= live
+    table.compact(spark, watermark_lsn=d["max_committed_lsn"])
+    d2 = cmd_detail(spark, _args(tmp_path, sf_tiny))
+    assert d2["stored_rows"] == live
+    assert d["version"] == table.version - 1  # compact committed one more
+    assert d["n_buckets"] == table.n_buckets
+    assert d["committed_batches"] == len(table.committed_batches())
+    assert d["max_committed_lsn"] == table.max_committed_lsn()
+    assert d["cloned_from"] is None and d["last_restore_commit"] is None
