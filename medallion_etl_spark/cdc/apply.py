@@ -100,6 +100,7 @@ def apply_batch(
     merge_path: str = "auto",
     broadcast_limit_bytes: int = 256 << 20,
     precomputed_stats: list[dict] | None = None,
+    precomputed_stats_n_buckets: int | None = None,
     write_mode: str = "cow",
     mor_max_deltas: int = 8,
     skip_empty_commit: bool = False,
@@ -169,7 +170,21 @@ def apply_batch(
     if precomputed_stats is not None:
         # the batch replayer computed these in its one upfront
         # aggregation — which also enforced (or diverted) CHECK
-        # constraints and malformed events for the whole stream
+        # constraints and malformed events for the whole stream.
+        # A caller that declares the layout its stats were computed
+        # under must still match this handle's: stale _bucket ids
+        # against a rebucketed table would merge a PARTIAL base and
+        # commit bucket replacements that drop the unread keys.
+        if (
+            precomputed_stats_n_buckets is not None
+            and precomputed_stats_n_buckets != table.n_buckets
+        ):
+            raise ValueError(
+                f"precomputed stats were built for n_buckets="
+                f"{precomputed_stats_n_buckets} but the table now has "
+                f"{table.n_buckets} (concurrent rebucket?): recompute the "
+                "stats against the reloaded table before applying"
+            )
         stats = precomputed_stats
     else:
         sv_agg = (

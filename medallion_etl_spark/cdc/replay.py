@@ -140,9 +140,12 @@ def replay(
     # at n_chunks x n_buckets rows.
     import time as _time
 
-    t_stats0 = _time.perf_counter()
-    stats_by_chunk: dict[int, list] = {}
-    if todo:
+    def compute_chunk_stats(validate: bool) -> dict[int, list]:
+        """Per-(chunk, bucket) stats under the CURRENT ``table``
+        layout. ``validate=True`` (first pass) also rides the malformed
+        / CHECK-constraint fail counters on the same aggregation; the
+        recompute after a concurrent rebucket skips them — the stream
+        was already validated (or diverted) on the first pass."""
         has_sv = "schema_version" in events.columns
         sv_agg = (
             [F.max("schema_version").alias("max_sv")]
@@ -159,12 +162,14 @@ def replay(
         # row is counted inside its group — one scan either way
         bad_agg = (
             [F.count_if(malformed_reason(table.key_col).isNotNull()).alias("_bad")]
-            if on_malformed == "fail"
+            if validate and on_malformed == "fail"
             else [F.lit(0).alias("_bad")]
         )
         # fail-mode CHECK-constraint validation rides the same pass
         vreason = (
-            violation_reason(table.constraints) if on_violation == "fail" else None
+            violation_reason(table.constraints)
+            if validate and on_violation == "fail"
+            else None
         )
         viol_agg = (
             [F.count_if(vreason.isNotNull()).alias("_viol")]
@@ -197,8 +202,18 @@ def replay(
         total_viol = sum(int(r["_viol"]) for r in all_stats)
         if total_viol:
             fail_on_violations(events, table.constraints, total_viol)
+        by_chunk: dict[int, list] = {}
         for r in all_stats:
-            stats_by_chunk.setdefault(int(r["_chunk"]), []).append(r)
+            by_chunk.setdefault(int(r["_chunk"]), []).append(r)
+        return by_chunk
+
+    t_stats0 = _time.perf_counter()
+    stats_by_chunk: dict[int, list] = compute_chunk_stats(validate=True) if todo else {}
+    # the layout the stats were computed under: a concurrent rebucket()
+    # mid-replay invalidates every precomputed _bucket id (old-layout
+    # ids against a new-layout table would merge against a partial base
+    # and silently drop the untouched keys of the replaced buckets)
+    stats_n_buckets = table.n_buckets
     upfront_stats_sec = round(_time.perf_counter() - t_stats0, 3)
 
     batches = 0
@@ -228,12 +243,22 @@ def replay(
                     write_mode=write_mode,
                     mor_max_deltas=mor_max_deltas,
                     precomputed_stats=stats_by_chunk.get(batch_id, []),
+                    precomputed_stats_n_buckets=stats_n_buckets,
                 )
                 break
             except RuntimeError as exc:
                 if "fork/rewind" not in str(exc) or attempt == 2:
                     raise
                 table = LakeTable.load(table.root)
+                if table.n_buckets != stats_n_buckets:
+                    # a concurrent rebucket() committed mid-replay: the
+                    # upfront stats address the OLD bucket layout, so
+                    # every remaining chunk's _bucket ids (and the
+                    # changed-bucket sets derived from them) are stale —
+                    # recompute under the reloaded layout before
+                    # re-applying (validation already ran on pass one)
+                    stats_by_chunk = compute_chunk_stats(validate=False)
+                    stats_n_buckets = table.n_buckets
         if not res.get("skipped"):
             batches += 1
             rows += res.get("rows_applied", 0)

@@ -687,11 +687,13 @@ class LakeTable:
         the Delta ``DESCRIBE DETAIL`` analog. Pure metadata (no Spark
         job): ``stored_rows`` comes from the per-bucket commit stats
         and INCLUDES delete tombstones not yet compacted away (the
-        user-visible count needs a read); it is None when any bucket
-        predates counted commits — unknown must never read as 0, the
-        same rule the broadcast gate follows."""
+        user-visible count needs a read); merge-on-read delta rows
+        count on top of their base (same entry_sources walk
+        bucket_rows() uses, so the two can never disagree); it is None
+        when any source predates counted commits — unknown must never
+        read as 0, the same rule the broadcast gate follows."""
         buckets = self.meta["buckets"]
-        counted = [e.get("rows") for e in buckets.values()]
+        counted = [s["rows"] for e in buckets.values() for s in entry_sources(e)]
         rows = None if any(r is None for r in counted) else sum(int(r) for r in counted)
         return {
             "root": self.root,

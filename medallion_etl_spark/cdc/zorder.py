@@ -53,10 +53,17 @@ def _as_ordered_double(dtype: T.DataType, name: str) -> Column:
     """An order-preserving numeric view of a column, for range coding."""
     if isinstance(dtype, T.StringType):
         # first 4 utf-8 bytes as a big-endian integer: preserves
-        # lexicographic order on the prefix, which is all a range code
-        # needs. conv() parses the hex of the raw bytes.
+        # lexicographic (binary utf-8) order on the prefix, which is
+        # all a range code needs. rpad to EXACTLY 4 bytes with 0x00 —
+        # without the pad, shorter strings code at a narrower width and
+        # the integer comparison stops being order-preserving ('ab' =
+        # 0x6162 would code BELOW 'aab' = 0x616162); 0x00 sorts below
+        # every byte, so padded prefixes compare exactly like the
+        # strings. rpad also truncates multi-byte prefixes (4 chars can
+        # be up to 16 utf-8 bytes) so conv() never overflows 64 bits.
         return F.expr(
-            f"cast(conv(hex(encode(substring(`{name}`, 1, 4), 'utf-8')), 16, 10) as double)"
+            f"cast(conv(hex(rpad(encode(substring(`{name}`, 1, 4), 'utf-8'), "
+            "4, x'00')), 16, 10) as double)"
         )
     if isinstance(dtype, (T.DateType, T.TimestampType)):
         return F.col(name).cast("timestamp").cast("double")

@@ -281,7 +281,7 @@ WITH latest AS (
 SELECT doc_id, tok_value, tok_user, last_lsn, n_tok, last_type,
        CASE WHEN last_type = 'click' THEN 'redacted' END AS lang
 FROM latest
-WHERE tok_value < 5000
+WHERE tok_value IS NULL OR tok_value < 5000
 ORDER BY doc_id
 """
 
