@@ -48,23 +48,74 @@ def test_hectolitros_measure_shape(spark, sf_tiny):
 
 
 def test_coverage_outputs_share_one_inner_agg(spark, sf_tiny):
-    """Both coverage outputs must regroup the SAME persisted inner agg:
-    their physical plans read an InMemoryTableScan, so the fact-table
-    join+shuffle runs once no matter how many outputs exist (the
-    reference recomputes the inner CTE per output table)."""
+    """All five coverage outputs must regroup the SAME persisted inner
+    agg: their physical plans read an InMemoryTableScan, so the
+    fact-table join+shuffle runs once no matter how many outputs exist
+    (the reference recomputes the inner CTE per output table)."""
     outs = coverage_outputs(spark, sf_tiny)
-    assert set(outs) == {"cobertura_vendedor_marca", "cobertura_sucursal_marca"}
+    assert set(outs) == {
+        "cobertura_vendedor_marca",
+        "cobertura_sucursal_marca",
+        "cobertura_vendedor_generico",
+        "cobertura_sucursal_generico",
+        "cobertura_sucursal_aguas",
+    }
     try:
         for df in outs.values():
             plan = df._jdf.queryExecution().executedPlan().toString()
             assert "InMemoryTableScan" in plan
-        a = outs["cobertura_vendedor_marca"].toPandas()
-        b = outs["cobertura_sucursal_marca"].toPandas()
-        assert len(a) > 0 and len(b) > 0
-        # regroupings of one inner agg agree on the total
-        assert abs(a["total_net_qty"].sum() - b["total_net_qty"].sum()) < 1e-6
+        frames = {k: df.toPandas() for k, df in outs.items()}
+        for k, df in frames.items():
+            assert len(df) > 0, k
+        # the per-variant client-grain HAVING clips negative client
+        # cells BEFORE summing, so a finer grain keeps at least as much
+        # volume as a coarser regroup of the same product attribute
+        a = frames["cobertura_vendedor_marca"]["total_net_qty"].sum()
+        b = frames["cobertura_sucursal_marca"]["total_net_qty"].sum()
+        assert a >= b - 1e-6
+        # the aguas output is the PROMO-generico subset, subdivided
+        ag = frames["cobertura_sucursal_aguas"]
+        assert set(ag["subdivision_aguas"]) <= {"AGUAS MINERAL", "AGUAS SABORIZADAS"}
+        promo = frames["cobertura_sucursal_generico"]
+        promo_total = promo[promo["generico"] == "PROMO"]["total_net_qty"].sum()
+        assert ag["total_net_qty"].sum() <= promo_total + 1e-6
     finally:
         spark.catalog.clearCache()
+
+
+def test_aguas_subdivision_semantics(spark):
+    """The aguas variant's distinctive pieces (reference
+    cobertura.py:348-433): product-subset filter, marca CASE ->
+    subdivision, client HAVING computed WITH the NULL-subdivision
+    group present, NULL subdivision dropped in the outer query."""
+    from pyspark.sql import functions as _F
+
+    from medallion_etl_spark.operators.coverage import _aguas_output
+
+    rows = [
+        # (periodo, fuerza, vend, ruta, suc, ds, marca, generico, cliente, net)
+        ("2024-01-01", 1, 1, 0, 1, "A", "Brand#11", "PROMO", 10, 5.0),
+        ("2024-01-01", 1, 1, 0, 1, "A", "Brand#13", "PROMO", 10, 3.0),
+        # unmapped marca -> NULL subdivision -> dropped
+        ("2024-01-01", 1, 1, 0, 1, "A", "Brand#15", "PROMO", 10, 99.0),
+        # wrong generico -> excluded by the subset filter
+        ("2024-01-01", 1, 1, 0, 1, "A", "Brand#11", "LARGE", 10, 99.0),
+        # client nets negative within its subdivision -> not a buyer
+        ("2024-01-01", 1, 1, 0, 1, "A", "Brand#11", "PROMO", 11, -2.0),
+        # NULL fuerza -> excluded
+        ("2024-01-01", None, 1, None, 1, "A", "Brand#11", "PROMO", 12, 7.0),
+    ]
+    inner = spark.createDataFrame(
+        rows,
+        "periodo string, fuerza_ventas int, vendedor_key long, ruta int, "
+        "sucursal_key int, ds_sucursal string, marca string, generico string, "
+        "cliente_key long, net_qty double",
+    ).withColumn("periodo", _F.to_timestamp("periodo"))
+    got = {
+        (r["subdivision_aguas"]): (r["clientes_compradores"], r["total_net_qty"])
+        for r in _aguas_output(inner).collect()
+    }
+    assert got == {"AGUAS MINERAL": (1, 5.0), "AGUAS SABORIZADAS": (1, 3.0)}
 
 
 def test_coverage_inner_having_cancels_returns(spark):
