@@ -51,11 +51,12 @@ def _bench_conf(parallelism: int | None = None) -> dict[str, str]:
     # resource at high parallelism, CPU is not
     if os.environ.get("SPARK_GRAFT_IO_CODEC"):
         conf["spark.io.compression.codec"] = os.environ["SPARK_GRAFT_IO_CODEC"]
-    # zstd parquet for bench tables: measured ~4% faster end-to-end at
-    # both levels (fewer tmpfs bytes; encode CPU scales, bytes don't)
-    conf["spark.sql.parquet.compression.codec"] = os.environ.get(
-        "SPARK_GRAFT_PARQUET_CODEC", "zstd"
-    )
+    # zstd parquet is the session default now (session.py); the env
+    # knob remains for codec A/B experiments only
+    if os.environ.get("SPARK_GRAFT_PARQUET_CODEC"):
+        conf["spark.sql.parquet.compression.codec"] = os.environ[
+            "SPARK_GRAFT_PARQUET_CODEC"
+        ]
     if parallelism is not None:
         # Emulate an N-core executor honestly: a real executor JVM gets
         # GC threads sized to ITS cores, not the host's 32. Only

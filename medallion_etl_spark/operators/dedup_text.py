@@ -22,6 +22,7 @@ Scale shapes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -101,7 +102,15 @@ ORDER BY content_hash
 
 def ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
     docs = spread(spark, T(spark, sf, "documents"))
-    sh = docs.select("doc_id", F.explode(_shingles(_words())).alias("shingle"))
+    # persist the exploded shingle frame: sizes, the document-frequency
+    # cap and BOTH sides of the self-join derive from it, so without
+    # the cache the text scan + tokenize + md5 pipeline runs ~3x per
+    # query (the same reuse pattern minhash_near_dup_pairs pins on its
+    # signature frame; InMemoryTableScan asserted in
+    # tests/test_plan_shapes.py)
+    sh = docs.select("doc_id", F.explode(_shingles(_words())).alias("shingle")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = sh.join(
         sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df")).filter(F.col("df") <= DF_CAP),

@@ -59,12 +59,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.compression.codec", "snappy")
-        # zstd shuffle/broadcast codec: trades CPU (which scales with
-        # cores) for bytes moved (which hit the DRAM-bandwidth ceiling
-        # first on shuffle-heavy plans). Measured on the CDC replay:
-        # +80-90% throughput at local[8] and ~8x lower run-to-run
-        # variance vs lz4 (BENCH/BASELINE.md).
+        # zstd for BOTH parquet and shuffle/broadcast: trades CPU
+        # (which scales with cores) for bytes moved (which hit the
+        # DRAM/disk-bandwidth ceiling first). Measured on the CDC
+        # replay: zstd shuffle gave +80-90% throughput at local[8] and
+        # ~8x lower run-to-run variance vs lz4; zstd parquet a further
+        # few % (BENCH/BASELINE.md). Set HERE so production sessions
+        # write what the bench measured — bench.py no longer overrides.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.io.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -12,6 +12,8 @@ from medallion_etl_spark.synth import gen_events
 
 from .cdc_oracle import canon
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def events(spark):

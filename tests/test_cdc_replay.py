@@ -17,6 +17,8 @@ from medallion_etl_spark.synth import gen_docs, gen_events, write_events_shuffle
 
 from .cdc_oracle import assert_frames_equal, expected_final_state
 
+pytestmark = pytest.mark.smoke
+
 N_EVENTS = 8_000
 N_KEYS = 600
 

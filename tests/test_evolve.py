@@ -8,6 +8,8 @@ import pytest
 from medallion_etl_spark.cdc.evolve import align_frame, align_to_version
 from medallion_etl_spark.schemas import DOCS_SCHEMA_V1, DOCS_SCHEMA_V3
 
+pytestmark = pytest.mark.smoke
+
 
 def test_add_column_fills_null_and_widen_casts(spark):
     df = spark.createDataFrame([("d1", [1, 2], 2, "web")], DOCS_SCHEMA_V1)

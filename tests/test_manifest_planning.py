@@ -4,10 +4,13 @@ and pending-chunk filtering matches the committed set."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from medallion_etl_spark.cdc.manifest import plan_chunks
+
+pytestmark = pytest.mark.smoke
 
 
 @settings(max_examples=200, deadline=None)

@@ -68,3 +68,18 @@ def test_query_matches_oracle(spark, sf_small, name):
     g, e = _canon(got), _canon(exp)
     bad = [(i, a, b) for i, (a, b) in enumerate(zip(g, e)) if a != b]
     assert not bad, f"{name}: {len(bad)} mismatched rows; first 3: {bad[:3]}"
+
+
+@pytest.mark.smoke
+def test_smoke_one_query_matches_oracle(spark, sf_tiny):
+    """The `-m smoke` subset's oracle leg: one representative query
+    (scan -> filter -> agg -> sort) against DuckDB at sf0.001, so a
+    pre-commit smoke run still exercises the full driver-contract
+    compare path without the ~16-minute full parity sweep."""
+    fn, sql = collect_queries()["pricing_summary"]
+    got = fn(spark, sf_tiny).toPandas()
+    con = _duck(sf_tiny)  # keep the connection alive past .sql()
+    exp = con.sql(sql).df()
+    assert sorted(got.columns) == sorted(exp.columns)
+    assert len(got) == len(exp) > 0
+    assert _canon(got) == _canon(exp)

@@ -93,3 +93,18 @@ def test_lww_dedup_agg_strategy_has_partial_agg(spark, sf_small):
     # matters is the PARTIAL aggregate running before the exchange —
     # that map-side reduction is what absorbs hot keys
     assert "partial_max_by" in p and "Exchange" in p
+
+
+def test_ngram_jaccard_reuses_persisted_shingles(spark, sf_small):
+    """The exploded shingle frame feeds sizes, the DF cap and both
+    self-join sides — it must be served from cache (InMemoryTableScan),
+    not recomputed ~3x from the documents scan (the same reuse pattern
+    minhash pins on its signature frame)."""
+    from medallion_etl_spark.operators.dedup_text import ngram_jaccard_topk
+
+    df = ngram_jaccard_topk(spark, sf_small)
+    try:
+        assert "InMemoryTableScan" in df._jdf.queryExecution().executedPlan().toString()
+        assert len(df.collect()) > 0
+    finally:
+        spark.catalog.clearCache()
