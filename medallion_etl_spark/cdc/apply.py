@@ -233,16 +233,20 @@ def apply_batch(
         table.commit({}, set(), (batch_id, {"lsn_lo": lsn_lo, "lsn_hi": lsn_hi, "rows_applied": 0}))
         return {"batch_id": batch_id, "rows_applied": 0, "buckets": []}
 
-    # schema evolution: the stream tells us when to evolve
+    # schema evolution: the stream tells us WHEN to evolve, but the
+    # version it names must already be DECLARED in table metadata
+    # (add_column/widen_column DDL-first — aligned_cols raises with the
+    # known versions otherwise); a stream cannot invent a schema
     target_sv = table.schema_version
     if has_sv:
         svs = [r["max_sv"] for r in stats if r["max_sv"] is not None]
         if svs:
             target_sv = max(target_sv, max(int(s) for s in svs))
+    table_schemas = table.schemas
 
     def to_storage_layout(df: DataFrame, lsn_col: F.Column, deleted_col: F.Column) -> DataFrame:
         return df.select(
-            *aligned_cols(set(df.columns), target_sv),
+            *aligned_cols(set(df.columns), target_sv, table_schemas),
             lsn_col.alias("_lsn"),
             deleted_col.alias("_deleted"),
         )

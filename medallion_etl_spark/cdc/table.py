@@ -211,6 +211,12 @@ class LakeTable:
             "format_version": FORMAT_VERSION,
             "version": 0,
             "schema_version": schema_version,
+            # schema versions live IN TABLE METADATA (the Iceberg/Delta
+            # schema-in-snapshot analog): one serialized StructType per
+            # version, appended to by add_column()/widen_column() so
+            # arbitrary DDL works without a code release. The code
+            # registry DOCS_SCHEMAS is only this bootstrap default.
+            "schemas": {str(v): s.jsonValue() for v, s in DOCS_SCHEMAS.items()},
             "n_buckets": n_buckets,
             "key_col": key_col,
             "bloom_key_filter": bool(bloom_key_filter),
@@ -328,8 +334,91 @@ class LakeTable:
     def key_col(self) -> str:
         return self.meta["key_col"]
 
+    @property
+    def schemas(self) -> dict[int, T.StructType]:
+        """Every declared schema version (metadata-recorded; the code
+        registry is the fallback for pre-metadata tables only)."""
+        raw = self.meta.get("schemas")
+        if raw is None:
+            return dict(DOCS_SCHEMAS)
+        return {int(v): T.StructType.fromJson(d) for v, d in raw.items()}
+
+    def schema_for(self, schema_version: int) -> T.StructType:
+        reg = self.schemas
+        if schema_version not in reg:
+            raise KeyError(
+                f"schema version {schema_version} is not declared for this "
+                f"table (known: {sorted(reg)}); run add_column()/"
+                "widen_column() first — evolution is DDL-first"
+            )
+        return reg[schema_version]
+
+    def stored_schema_for(self, schema_version: int) -> T.StructType:
+        """Physical file schema of a bucket source written at the given
+        version: the declared columns plus the engine bookkeeping."""
+        return T.StructType(list(self.schema_for(schema_version).fields) + INTERNAL_FIELDS)
+
     def schema(self) -> T.StructType:
-        return DOCS_SCHEMAS[self.schema_version]
+        return self.schema_for(self.schema_version)
+
+    def add_column(self, name: str, dtype, *, spark: SparkSession | None = None) -> dict:
+        """``ALTER TABLE ADD COLUMN`` (nullable): declare schema version
+        ``max+1`` = current schema + the new column, recorded in table
+        metadata by one atomic commit. Old files stay as written and
+        read as NULL for the column; new writes at the new version
+        carry it. No data job runs. ``dtype`` is a DataType or a DDL
+        string ('double', 'array<int>', ...)."""
+        from .evolve import parse_type
+
+        dt = parse_type(dtype)
+        cur = self.schema()
+        if name in {f.name for f in cur.fields} or name in INTERNAL_COLS:
+            raise ValueError(f"column {name!r} already exists in schema v{self.schema_version}")
+        new_sv = max(self.schemas) + 1
+        new_schema = T.StructType(list(cur.fields) + [T.StructField(name, dt, True)])
+        schemas = dict(self.meta.get("schemas") or {str(v): s.jsonValue() for v, s in DOCS_SCHEMAS.items()})
+        schemas[str(new_sv)] = new_schema.jsonValue()
+        self.commit(
+            {}, set(), None,
+            schema_version=new_sv,
+            meta_updates={"schemas": schemas},
+        )
+        return {"column": name, "type": dt.simpleString(), "schema_version": new_sv, "version": self.version}
+
+    def widen_column(self, name: str, new_type) -> dict:
+        """``ALTER TABLE ALTER COLUMN TYPE`` restricted to lossless
+        widenings (Iceberg's promotion set: int->long, float->double,
+        plus the byte/short chain). Declares schema version ``max+1``
+        with the column's type widened — cast-on-read aligns old files,
+        so like add_column this is a pure metadata commit."""
+        from .evolve import WIDENINGS, is_widening, parse_type
+
+        dt = parse_type(new_type)
+        cur = self.schema()
+        fields = {f.name: f for f in cur.fields}
+        if name not in fields:
+            raise ValueError(f"no column {name!r} in schema v{self.schema_version}")
+        old_dt = fields[name].dataType
+        if old_dt == dt:
+            raise ValueError(f"column {name!r} already has type {dt.simpleString()}")
+        if not is_widening(old_dt, dt):
+            raise ValueError(
+                f"cannot change {name!r} {old_dt.simpleString()} -> "
+                f"{dt.simpleString()}: not a lossless widening "
+                f"(allowed: {WIDENINGS})"
+            )
+        new_sv = max(self.schemas) + 1
+        new_schema = T.StructType(
+            [T.StructField(f.name, dt if f.name == name else f.dataType, f.nullable) for f in cur.fields]
+        )
+        schemas = dict(self.meta.get("schemas") or {str(v): s.jsonValue() for v, s in DOCS_SCHEMAS.items()})
+        schemas[str(new_sv)] = new_schema.jsonValue()
+        self.commit(
+            {}, set(), None,
+            schema_version=new_sv,
+            meta_updates={"schemas": schemas},
+        )
+        return {"column": name, "type": dt.simpleString(), "schema_version": new_sv, "version": self.version}
 
     def writer_options(self) -> dict[str, str]:
         """Parquet writer options every bucket-file writer (merge,
@@ -446,7 +535,7 @@ class LakeTable:
         never asked for.
         """
         if columns is not None:
-            known = {f.name for f in DOCS_SCHEMAS[self.schema_version].fields}
+            known = {f.name for f in self.schema().fields}
             bad = [c for c in columns if c not in known]
             if bad:
                 raise ValueError(f"unknown columns {bad}; table has {sorted(known)}")
@@ -483,11 +572,11 @@ class LakeTable:
         clean_parts: list[DataFrame] = []
         merge_parts: list[DataFrame] = []
         for (sv, didx, has_deltas), dirs in sorted(groups.items()):
-            df = spark.read.schema(stored_schema(sv)).parquet(*dirs)
+            df = spark.read.schema(self.stored_schema_for(sv)).parquet(*dirs)
             if min_lsn_exclusive is not None:
                 df = df.filter(F.col("_lsn") > F.lit(min_lsn_exclusive))
-            have = {f.name for f in DOCS_SCHEMAS[sv].fields}
-            df = df.select(*aligned_cols(have, target_sv), *INTERNAL_COLS)
+            have = {f.name for f in self.schema_for(sv).fields}
+            df = df.select(*aligned_cols(have, target_sv, self.schemas), *INTERNAL_COLS)
             if columns is not None:
                 df = df.select(*keep, *INTERNAL_COLS)
             if has_deltas:
@@ -501,7 +590,7 @@ class LakeTable:
                 folded = folded.unionByName(p)
             parts.append(self._merge_sources(folded))
         if not parts:
-            out = spark.createDataFrame([], stored_schema(target_sv))
+            out = spark.createDataFrame([], self.stored_schema_for(target_sv))
             if columns is not None:
                 out = out.select(*keep, *INTERNAL_COLS)
         else:

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 
-from ..cdc.table import LakeTable, entry_max_lsn, entry_signature, entry_sources, stored_schema
+from ..cdc.table import LakeTable, entry_max_lsn, entry_signature, entry_sources
 
 FORMAT_NAME = "lake_feed"
 
@@ -54,10 +54,8 @@ FEED_EXTRA_FIELDS = [
 ]
 
 
-def feed_schema(schema_version: int) -> T.StructType:
-    from ..schemas import DOCS_SCHEMAS
-
-    return T.StructType(list(DOCS_SCHEMAS[schema_version].fields) + FEED_EXTRA_FIELDS)
+def feed_schema_of(docs_schema: T.StructType) -> T.StructType:
+    return T.StructType(list(docs_schema.fields) + FEED_EXTRA_FIELDS)
 
 
 @dataclasses.dataclass
@@ -72,6 +70,11 @@ class FeedPartition(InputPartition):
     key_col: str
     target_schema_version: int  # schema the query surfaces
     watermark_lsn: int  # emit only rows with _lsn strictly above
+    # serialized StructType per schema version (the TABLE's metadata
+    # map, pinned at query start): executors have no LakeTable handle,
+    # so the declared schemas ride in the partition — the engine never
+    # consults the code registry for a live table
+    schemas_json: dict[int, dict]
 
 
 class LakeFeedStreamReader(DataSourceStreamReader):
@@ -80,8 +83,11 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         if not self.root:
             raise ValueError("lake_feed requires .option('path', <table root>)")
         self.start_version = int(options.get("startversion", options.get("startVersion", 0)))
-        # schema is pinned at query start — see module docstring
-        self.target_sv = LakeTable.load(self.root).schema_version
+        # schema (and the declared-version map) is pinned at query
+        # start — see module docstring
+        t = LakeTable.load(self.root)
+        self.target_sv = t.schema_version
+        self.schemas_json = {v: st.jsonValue() for v, st in t.schemas.items()}
 
     # -- offsets (driver-side, metadata only) ---------------------------
 
@@ -149,6 +155,7 @@ class LakeFeedStreamReader(DataSourceStreamReader):
                         key_col=key_col,
                         target_schema_version=self.target_sv,
                         watermark_lsn=watermark,
+                        schemas_json=self.schemas_json,
                     )
                 )
         return out
@@ -161,7 +168,13 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         import pyarrow.dataset as ds
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        target = to_arrow_schema(stored_schema(partition.target_schema_version))
+        from ..cdc.table import INTERNAL_FIELDS
+
+        def _stored(sv: int) -> T.StructType:
+            declared = T.StructType.fromJson(partition.schemas_json[sv])
+            return T.StructType(list(declared.fields) + INTERNAL_FIELDS)
+
+        target = to_arrow_schema(_stored(partition.target_schema_version))
         parts: list[pa.Table] = []
         for src_idx, (src_dir, src_sv) in enumerate(partition.sources):
             if src_sv > partition.target_schema_version:
@@ -174,7 +187,7 @@ class LakeFeedStreamReader(DataSourceStreamReader):
                     f"but this stream started at v{partition.target_schema_version}: "
                     "table schema evolved mid-stream; restart the streaming query"
                 )
-            stored = to_arrow_schema(stored_schema(src_sv))
+            stored = to_arrow_schema(_stored(src_sv))
             data = ds.dataset(src_dir, schema=stored, format="parquet")
             # row-group pruning on the _lsn statistic, then exact filter
             tbl = data.to_table(filter=ds.field("_lsn") > partition.watermark_lsn)
@@ -213,7 +226,13 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         elif "_src" in tbl.column_names:
             tbl = tbl.drop_columns(["_src"])
 
-        out_fields = to_arrow_schema(feed_schema(partition.target_schema_version))
+        out_fields = to_arrow_schema(
+            feed_schema_of(
+                T.StructType.fromJson(
+                    partition.schemas_json[partition.target_schema_version]
+                )
+            )
+        )
         n = tbl.num_rows
         cols = []
         for field in out_fields:
@@ -241,7 +260,7 @@ class LakeFeedDataSource(DataSource):
         root = self.options.get("path")
         if not root:
             raise ValueError("lake_feed requires .option('path', <table root>)")
-        return feed_schema(LakeTable.load(root).schema_version)
+        return feed_schema_of(LakeTable.load(root).schema())
 
     def streamReader(self, schema) -> LakeFeedStreamReader:
         return LakeFeedStreamReader(self.options)

@@ -262,6 +262,18 @@ def cmd_drop_constraint(spark, args) -> dict:
     return LakeTable.load(_table_root(args.out)).drop_constraint(args.name)
 
 
+def cmd_add_column(spark, args) -> dict:
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    return LakeTable.load(_table_root(args.out)).add_column(args.name, args.type)
+
+
+def cmd_widen_column(spark, args) -> dict:
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    return LakeTable.load(_table_root(args.out)).widen_column(args.name, args.type)
+
+
 def cmd_detail(spark, args) -> dict:
     from medallion_etl_spark.cdc.table import LakeTable
 
@@ -375,6 +387,12 @@ def main() -> None:
     p.add_argument("predicate", help="CHECK predicate; existing rows are validated first")
     p = sub.add_parser("drop-constraint")
     p.add_argument("name")
+    p = sub.add_parser("add-column")
+    p.add_argument("name")
+    p.add_argument("type", help="DDL type ('double', 'array<int>', ...); column is nullable")
+    p = sub.add_parser("widen-column")
+    p.add_argument("name")
+    p.add_argument("type", help="lossless widening target (int->bigint, float->double, ...)")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -401,6 +419,8 @@ def main() -> None:
         "merge": cmd_merge,
         "add-constraint": cmd_add_constraint,
         "drop-constraint": cmd_drop_constraint,
+        "add-column": cmd_add_column,
+        "widen-column": cmd_widen_column,
     }
     result = dispatch[args.layer](spark, args)
     print(json.dumps({"command": args.layer, "ok": True, "result": result}, default=str))

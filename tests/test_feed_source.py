@@ -125,6 +125,7 @@ def test_mid_stream_schema_evolution_fails_loudly(built):
         key_col="doc_id",
         target_schema_version=2,
         watermark_lsn=-1,
+        schemas_json={v: st.jsonValue() for v, st in table.schemas.items()},
     )
     with pytest.raises(ValueError, match="evolved mid-stream"):
         next(reader.read(part))

@@ -207,3 +207,22 @@ def test_detail_via_cli(spark, tmp_path, sf_tiny):
     assert d["committed_batches"] == len(table.committed_batches())
     assert d["max_committed_lsn"] == table.max_committed_lsn()
     assert d["cloned_from"] is None and d["last_restore_commit"] is None
+
+
+def test_ddl_add_and_widen_column_via_cli(spark, tmp_path, sf_tiny):
+    from scripts.orchestrator import cmd_add_column, cmd_widen_column
+
+    cmd_bronze(spark, _args(tmp_path, sf_tiny))
+    res = cmd_add_column(spark, _args(tmp_path, sf_tiny, name="score", type="double"))
+    assert res["column"] == "score" and res["type"] == "double"
+    res2 = cmd_add_column(spark, _args(tmp_path, sf_tiny, name="hits", type="int"))
+    res3 = cmd_widen_column(spark, _args(tmp_path, sf_tiny, name="hits", type="bigint"))
+    assert res3["schema_version"] == res2["schema_version"] + 1
+
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    t = LakeTable.load(str(tmp_path / "docs_table"))
+    df = t.read(spark)
+    assert dict(df.dtypes)["score"] == "double"
+    assert dict(df.dtypes)["hits"] == "bigint"
+    assert df.count() > 0  # old files align (NULL columns) without a rewrite
