@@ -83,6 +83,32 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         if not self.root:
             raise ValueError("lake_feed requires .option('path', <table root>)")
         self.start_version = int(options.get("startversion", options.get("startVersion", 0)))
+        # backpressure (Delta maxFilesPerTrigger analog): cap each
+        # micro-batch at this many table VERSIONS so a large backlog
+        # drains in bounded batches instead of one giant catch-up scan.
+        # 0 / absent = unlimited (current behavior).
+        self.max_versions = (
+            int(
+                options.get(
+                    "maxversionspertrigger", options.get("maxVersionsPerTrigger", 0)
+                )
+            )
+            or None
+        )
+        # the pacing cursor: the highest offset this reader has seen —
+        # handed out by latestOffset OR shown to us by the engine
+        # (partitions()/commit()). The Python DS API has no admission-
+        # control hook (latestOffset takes no start), so the cap is
+        # cursor-relative, which is safe because (verified against the
+        # Spark 4.1 microbatch engine, pinned by
+        # tests/test_feed_backpressure.py): on ANY restart the engine
+        # re-plans the checkpointed offsets through partitions() —
+        # completed last batch included, as an (end, end) probe —
+        # BEFORE the first latestOffset, so the cursor is always at
+        # the checkpoint before we cap, and resume mid-backlog stays
+        # bounded. The cursor only ever moves forward: handing back an
+        # offset below the engine's log would rewind the stream.
+        self._cursor: int = self.start_version
         # schema (and the declared-version map) is pinned at query
         # start — see module docstring
         t = LakeTable.load(self.root)
@@ -95,13 +121,25 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        return {"version": LakeTable.load(self.root).version}
+        head = LakeTable.load(self.root).version
+        if self.max_versions is None:
+            return {"version": head}
+        end = min(head, self._cursor + self.max_versions)
+        end = max(end, self._cursor)  # never move backward
+        self._cursor = end
+        return {"version": end}
 
     def _meta(self, version: int) -> dict:
         return LakeTable.load_version(self.root, version).meta
 
     def partitions(self, start: dict, end: dict) -> list[FeedPartition]:
         start_v, end_v = int(start["version"]), int(end["version"])
+        # recovery path: a restart re-plans the checkpointed batch
+        # through here before any latestOffset call (an in-flight batch
+        # as a real span, a completed one as an (end, end) probe) —
+        # adopt the offsets as the pacing cursor so the next trigger
+        # caps from the checkpoint, never from start_version
+        self._cursor = max(self._cursor, start_v, end_v)
         if end_v <= start_v:
             return []
         old = LakeTable.load_version(self.root, start_v)
@@ -248,7 +286,11 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         yield from pa.table(cols, schema=out_fields).to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # exactly-once is the SINK's job; offsets live in the checkpoint
+        # exactly-once is the SINK's job; offsets live in the
+        # checkpoint. Adopt the committed end as the pacing cursor
+        # (belt to partitions()' braces — whichever the engine calls
+        # first after a restart wins).
+        self._cursor = max(self._cursor, int(end["version"]))
 
 
 class LakeFeedDataSource(DataSource):
@@ -267,13 +309,30 @@ class LakeFeedDataSource(DataSource):
 
 
 def read_feed_stream(
-    spark: SparkSession, table_root: str, *, start_version: int = 0
+    spark: SparkSession,
+    table_root: str,
+    *,
+    start_version: int = 0,
+    max_versions_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Register the source (idempotent) and open the change-feed stream."""
+    """Register the source (idempotent) and open the change-feed stream.
+
+    ``max_versions_per_trigger``: bound each micro-batch to this many
+    table versions (Delta ``maxFilesPerTrigger`` analog) so a deep
+    backlog drains in ceil(backlog/limit) bounded batches, INCLUDING
+    across a checkpointed restart mid-backlog (the engine re-plans the
+    checkpointed offsets through partitions() before the first
+    latestOffset, which re-seats the pacing cursor — see
+    LakeFeedStreamReader). With ``trigger(availableNow=True)`` the
+    engine snapshots ONE end offset per run, so a capped query drains
+    one bounded batch per run; use a processingTime trigger for a
+    continuously draining bounded feed."""
     spark.dataSource.register(LakeFeedDataSource)
-    return (
+    reader = (
         spark.readStream.format(FORMAT_NAME)
         .option("path", table_root)
         .option("startVersion", str(start_version))
-        .load()
     )
+    if max_versions_per_trigger is not None:
+        reader = reader.option("maxVersionsPerTrigger", str(max_versions_per_trigger))
+    return reader.load()
