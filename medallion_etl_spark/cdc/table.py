@@ -802,6 +802,7 @@ class LakeTable:
             "bloom_key_filter": bool(self.meta.get("bloom_key_filter", False)),
             "constraints": dict(self.constraints),
             "cloned_from": self.meta.get("cloned_from"),
+            "clones": list(self.meta.get("clones", [])),
             "last_restore_commit": int(self.meta.get("last_restore_commit", 0)) or None,
         }
 
@@ -1049,14 +1050,18 @@ class LakeTable:
         and a compaction in the clone rewrites it onto clone-local
         files, making it self-contained.
 
-        Shared-file hazard (same as Delta): ``expire_snapshots`` /
-        ``remove_orphans`` on the SOURCE do not know about clones — if
-        the source later rewrites buckets and expires the shared
-        snapshot, the clone's absolute references dangle. Compact the
-        clone (self-contain it) before aggressive source retention.
-        The clone's own expiry is safe by construction: absolute
-        references never match its local ``data/`` names, so they are
-        simply never up for deletion."""
+        Shared-file hazard (same as Delta), now GUARDED: the clone is
+        registered in the source's metadata (``meta["clones"]``, one
+        commit on the source HEAD), and the source's
+        ``expire_snapshots`` refuses to delete a data dir a registered,
+        still-existing clone points at (``force=True`` overrides,
+        accepting the dangle). ``remove_orphans`` needs no guard: a
+        clone only references dirs of a source snapshot, which stay
+        referenced by that retained version file. Compacting the clone
+        self-contains it (all pointers local), after which source
+        retention is free again. The clone's own expiry is safe by
+        construction: absolute references never match its local
+        ``data/`` names, so they are simply never up for deletion."""
         if LakeTable.exists(dst_root):
             raise ValueError(f"destination {dst_root} is already a table")
         src_root = os.path.abspath(self.root)
@@ -1078,9 +1083,24 @@ class LakeTable:
         os.makedirs(os.path.join(dst_root, "data"), exist_ok=True)
         clone = LakeTable(dst_root, meta)
         clone._write_metadata(meta)
+        # register the clone on the SOURCE HEAD (not this possibly-old
+        # snapshot handle) so retention can refuse to unreference dirs
+        # the clone points at; bounded reload-and-retry absorbs commit
+        # races with concurrent writers
+        dst_abs = os.path.abspath(dst_root)
+        for _ in range(5):
+            src = LakeTable.load(src_root)
+            clones = list(src.meta.get("clones", []))
+            if dst_abs in clones:
+                break
+            try:
+                src.commit({}, set(), None, meta_updates={"clones": clones + [dst_abs]})
+                break
+            except RuntimeError:
+                continue  # lost the race: reload and retry
         return clone
 
-    def expire_snapshots(self, *, keep_last: int = 1) -> dict:
+    def expire_snapshots(self, *, keep_last: int = 1, force: bool = False) -> dict:
         """Storage reclamation (the Iceberg ``expire_snapshots`` /
         Delta VACUUM analog): drop metadata versions older than the
         newest ``keep_last`` and delete every data directory no
@@ -1094,7 +1114,13 @@ class LakeTable:
         Delta CDF). Driver-side metadata + filesystem work only; no
         Spark job. Crash-safe: metadata documents are deleted LAST, so
         an interrupted expiry never leaves a readable version pointing
-        at deleted data beyond what was already unreferenced."""
+        at deleted data beyond what was already unreferenced.
+
+        Clone guard: a dir a REGISTERED, still-existing shallow clone
+        points at (see ``clone_to``) is never silently deleted — this
+        raises listing the clone(s) and dirs instead; ``force=True``
+        proceeds anyway (accepting dangling clones). Compact the clone
+        to self-contain it and re-run."""
         md_dir = os.path.join(self.root, "metadata")
         # HEAD from disk, not this handle — expiring from a stale
         # handle must never delete versions the real HEAD still needs
@@ -1120,11 +1146,10 @@ class LakeTable:
         # a dir is deletable only if NO retained version references it
         # (referenced paths are bucket dirs like data/vN/_bucket=K; a
         # version dir data/vN survives while any of its buckets is
-        # referenced)
+        # referenced). Two phases: PLAN every removal first so the
+        # clone guard can veto the whole expiry before a byte is lost.
         data_dir = os.path.join(self.root, "data")
-        removed_dirs = []
-        import shutil
-
+        to_remove: list[str] = []
         for vdir in sorted(os.listdir(data_dir)):
             vpath = os.path.join(data_dir, vdir)
             if not os.path.isdir(vpath):
@@ -1132,13 +1157,46 @@ class LakeTable:
             for bdir in sorted(os.listdir(vpath)):
                 rel = os.path.normpath(os.path.join("data", vdir, bdir))
                 if rel not in referenced:
-                    target = os.path.join(data_dir, vdir, bdir)
-                    if os.path.isdir(target):
-                        shutil.rmtree(target, ignore_errors=True)
-                    else:  # write markers (_SUCCESS etc.)
-                        os.remove(target)
-                    removed_dirs.append(rel)
-            if not os.listdir(vpath):
+                    to_remove.append(rel)
+
+        if not force and to_remove:
+            src_abs = os.path.abspath(self.root)
+            endangered: dict[str, list[str]] = {}
+            for croot in self.meta.get("clones", []):
+                if not LakeTable.exists(croot):
+                    continue  # clone deleted out from under us: nothing to protect
+                refs: set[str] = set()
+                for entry in LakeTable.load(croot).meta["buckets"].values():
+                    for s in entry_sources(entry):
+                        d = os.path.normpath(s["dir"])
+                        if os.path.isabs(d):
+                            relp = os.path.relpath(d, src_abs)
+                            if not relp.startswith(".."):
+                                refs.add(os.path.normpath(relp))
+                hit = sorted(refs.intersection(to_remove))
+                if hit:
+                    endangered[croot] = hit
+            if endangered:
+                raise ValueError(
+                    "expire_snapshots would delete data dirs that registered "
+                    f"shallow clone(s) still reference: {endangered}. Compact "
+                    "the clone(s) to self-contain them (clone.compact(...)) "
+                    "and re-run, or pass force=True to accept dangling them."
+                )
+
+        removed_dirs = []
+        import shutil
+
+        for rel in to_remove:
+            target = os.path.join(self.root, rel)
+            if os.path.isdir(target):
+                shutil.rmtree(target, ignore_errors=True)
+            elif os.path.exists(target):  # write markers (_SUCCESS etc.)
+                os.remove(target)
+            removed_dirs.append(rel)
+        for vdir in sorted(os.listdir(data_dir)):
+            vpath = os.path.join(data_dir, vdir)
+            if os.path.isdir(vpath) and not os.listdir(vpath):
                 os.rmdir(vpath)
         # metadata last (see docstring)
         for v in sorted(expired_versions):

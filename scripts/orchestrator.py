@@ -262,6 +262,14 @@ def cmd_drop_constraint(spark, args) -> dict:
     return LakeTable.load(_table_root(args.out)).drop_constraint(args.name)
 
 
+def cmd_expire(spark, args) -> dict:
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    return LakeTable.load(_table_root(args.out)).expire_snapshots(
+        keep_last=int(args.keep_last), force=bool(args.force)
+    )
+
+
 def cmd_add_column(spark, args) -> dict:
     from medallion_etl_spark.cdc.table import LakeTable
 
@@ -387,6 +395,13 @@ def main() -> None:
     p.add_argument("predicate", help="CHECK predicate; existing rows are validated first")
     p = sub.add_parser("drop-constraint")
     p.add_argument("name")
+    p = sub.add_parser("expire")
+    p.add_argument("--keep-last", default="1", help="retain this many newest snapshots")
+    p.add_argument(
+        "--force",
+        action="store_true",
+        help="proceed even if a registered shallow clone would dangle",
+    )
     p = sub.add_parser("add-column")
     p.add_argument("name")
     p.add_argument("type", help="DDL type ('double', 'array<int>', ...); column is nullable")
@@ -419,6 +434,7 @@ def main() -> None:
         "merge": cmd_merge,
         "add-constraint": cmd_add_constraint,
         "drop-constraint": cmd_drop_constraint,
+        "expire": cmd_expire,
         "add-column": cmd_add_column,
         "widen-column": cmd_widen_column,
     }

@@ -99,3 +99,50 @@ def test_clone_carries_constraints_and_enforces_them(spark, tmp_path, source):
     assert clone.constraints == {"tok_sane": "n_tok <= 64"}
     with pytest.raises(ValueError, match="check:tok_sane"):
         update_where(spark, clone, "true", {"n_tok": "n_tok + 100"})
+
+
+def _advance_source(spark, table, events):
+    """Rewrite the source's buckets past the cloned snapshot (a fresh
+    COW replay of the same stream shifted to new LSNs)."""
+    more = (
+        events.withColumn("lsn", F.col("lsn") + N_EVENTS)
+        .unionByName(events)
+    )
+    replay(spark, more, LakeTable.load(table.root), chunk_size=1_000)
+    return LakeTable.load(table.root)
+
+
+def test_source_expiry_refuses_to_dangle_registered_clone(spark, tmp_path, source):
+    table, events = source
+    clone = table.clone_to(str(tmp_path / "clone"))
+    src = LakeTable.load(table.root)
+    assert os.path.abspath(clone.root) in src.meta.get("clones", [])
+    assert os.path.abspath(clone.root) in src.detail()["clones"]
+
+    src = _advance_source(spark, src, events)
+    want = canon(clone.read(spark).toPandas())
+    with pytest.raises(ValueError, match="shallow clone"):
+        src.expire_snapshots(keep_last=1)
+    # nothing was deleted: the clone still reads
+    assert_frames_equal(
+        LakeTable.load(clone.root).read(spark).toPandas(), want
+    )
+    # force overrides (accepting the dangle)
+    res = src.expire_snapshots(keep_last=1, force=True)
+    assert res["removed_dirs"]
+
+
+def test_source_expiry_after_clone_self_containment(spark, tmp_path, source):
+    table, events = source
+    clone = table.clone_to(str(tmp_path / "clone"))
+    src = _advance_source(spark, table, events)
+
+    # compaction self-contains the clone: every pointer goes local,
+    # so the registered clone no longer blocks source retention
+    LakeTable.load(clone.root).compact(spark, watermark_lsn=0)
+    want = canon(LakeTable.load(clone.root).read(spark).toPandas())
+    res = src.expire_snapshots(keep_last=1)
+    assert res["removed_dirs"]
+    assert_frames_equal(
+        LakeTable.load(clone.root).read(spark).toPandas(), want
+    )

@@ -226,3 +226,9 @@ def test_ddl_add_and_widen_column_via_cli(spark, tmp_path, sf_tiny):
     assert dict(df.dtypes)["score"] == "double"
     assert dict(df.dtypes)["hits"] == "bigint"
     assert df.count() > 0  # old files align (NULL columns) without a rewrite
+
+    # expire via CLI: the DDL commits above left superseded history
+    from scripts.orchestrator import cmd_expire
+
+    res = cmd_expire(spark, _args(tmp_path, sf_tiny, keep_last="1", force=False))
+    assert res["expired_versions"] and res["retained_versions"]
