@@ -172,10 +172,21 @@ def run_cdc(
 def _cdc_only(parallelism: int, n_events: int, n_chunks: int, merge_path: str) -> None:
     from medallion_etl_spark.session import get_spark
 
+    conf = _bench_conf(parallelism)
+    if os.environ.get("SPARK_GRAFT_MASTER", "").startswith("local-cluster"):
+        # real executor JVMs (see run_scaling cluster_jvms): size each
+        # executor's heap under its worker allowance and pin its GC
+        # threads to its 1 core — ergonomics would size them to the
+        # HOST's 32 cores, recreating the thread storm per executor
+        conf["spark.executor.memory"] = "12g"
+        conf["spark.executor.cores"] = "1"
+        conf["spark.executor.extraJavaOptions"] = (
+            "-XX:ParallelGCThreads=2 -XX:ConcGCThreads=1"
+        )
     spark = get_spark(
         f"bench_cdc_p{parallelism}",
         parallelism=parallelism,
-        extra_conf=_bench_conf(parallelism),
+        extra_conf=conf,
     )
     # warm-up: pay JVM/codegen JIT before the timed run, else the first
     # chunk's compilation time reads as serial work and skews scaling
@@ -194,19 +205,36 @@ def run_scaling(
     reps: int = 2,
     merge_path: str = "agg",
     out_path: str = "BENCH/scaling.json",
+    cluster_jvms: bool = False,
+    executor_mem_mb: int = 16384,
 ) -> dict:
-    """Same job at local[n_lo] and local[n_hi] (the sandbox stand-in
-    for N vs 4N executors), fresh JVM each. Levels are interleaved and
+    """Same job at parallelism n_lo and n_hi (the sandbox stand-in for
+    N vs 4N executors), fresh JVM each. Levels are interleaved and
     the best of ``reps`` runs per level is kept, because the sandbox
-    box is shared and single runs are noisy."""
+    box is shared and single runs are noisy.
+
+    ``cluster_jvms=True`` runs each level under
+    ``local-cluster[p, 1, mem]`` instead of ``local[p]``: p REAL
+    executor JVMs with their own heaps, GC, and serialization
+    boundaries — the closest single-box analog of the north_rule's
+    N-vs-4N-executor wording (local[N] threads share one heap and skip
+    executor-to-executor serialization entirely). Still one box: DRAM
+    bandwidth and the page cache remain shared, so the same below-knee
+    level pairing applies."""
     levels: dict[int, dict] = {}
     for _ in range(reps):
         for p in (n_lo, n_hi):
+            env = dict(os.environ)
+            if cluster_jvms:
+                env["SPARK_GRAFT_MASTER"] = f"local-cluster[{p},1,{executor_mem_mb}]"
+                # driver does bookkeeping only in the agg path; leave
+                # the heap to the executors (p x executor_mem)
+                env["SPARK_GRAFT_DRIVER_MEM"] = "8g"
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--cdc-only",
                  "--parallelism", str(p), "--events", str(n_events),
                  "--chunks", "2", "--merge-path", merge_path],
-                capture_output=True, text=True, check=True,
+                capture_output=True, text=True, check=True, env=env,
             )
             res = json.loads(proc.stdout.strip().splitlines()[-1])
             if p not in levels or res["events_per_sec"] > levels[p]["events_per_sec"]:
@@ -248,6 +276,10 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--scaling-out", default="BENCH/scaling.json")
     ap.add_argument("--replay-reps", type=int, default=2)
+    # real separate executor JVMs via local-cluster[p,1,mem] — the
+    # closest in-sandbox analog of N vs 4N executor PROCESSES
+    ap.add_argument("--cluster-jvms", action="store_true")
+    ap.add_argument("--executor-mem-mb", type=int, default=16384)
     args = ap.parse_args()
 
     if args.cdc_only:
@@ -257,7 +289,9 @@ def main() -> None:
         print(json.dumps(run_scaling(
             args.events, args.scale_lo, args.scale_hi,
             reps=args.reps, merge_path=args.merge_path,
-            out_path=args.scaling_out)))
+            out_path=args.scaling_out,
+            cluster_jvms=args.cluster_jvms,
+            executor_mem_mb=args.executor_mem_mb)))
         return
 
     from medallion_etl_spark.session import get_spark

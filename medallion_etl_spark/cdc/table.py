@@ -374,6 +374,16 @@ class LakeTable:
         cur = self.schema()
         if name in {f.name for f in cur.fields} or name in INTERNAL_COLS:
             raise ValueError(f"column {name!r} already exists in schema v{self.schema_version}")
+        # alignment is NAME-based (no Iceberg field ids): re-adding a
+        # name that any declared version ever carried would resurrect
+        # the dropped column's old stored values on read — refuse
+        ever = {f.name for st in self.schemas.values() for f in st.fields}
+        if name in ever:
+            raise ValueError(
+                f"column {name!r} existed in an earlier schema version of this "
+                "table; name-based alignment would resurrect its old stored "
+                "values — use a fresh name"
+            )
         new_sv = max(self.schemas) + 1
         new_schema = T.StructType(list(cur.fields) + [T.StructField(name, dt, True)])
         schemas = dict(self.meta.get("schemas") or {str(v): s.jsonValue() for v, s in DOCS_SCHEMAS.items()})
@@ -384,6 +394,32 @@ class LakeTable:
             meta_updates={"schemas": schemas},
         )
         return {"column": name, "type": dt.simpleString(), "schema_version": new_sv, "version": self.version}
+
+    def drop_column(self, name: str) -> dict:
+        """``ALTER TABLE DROP COLUMN``: declare schema version ``max+1``
+        without the column — a pure metadata commit. Old files keep the
+        bytes (immutable); reads at the new version simply never select
+        the column (alignment projects the TARGET schema's fields
+        only), and the next compaction/COW rewrite physically sheds it.
+        The key column and engine bookkeeping cannot be dropped, and
+        the name stays reserved forever (see add_column: name-based
+        alignment would resurrect old values on re-add)."""
+        cur = self.schema()
+        fields = {f.name for f in cur.fields}
+        if name == self.key_col:
+            raise ValueError(f"cannot drop the key column {name!r}")
+        if name not in fields:
+            raise ValueError(f"no column {name!r} in schema v{self.schema_version}")
+        new_sv = max(self.schemas) + 1
+        new_schema = T.StructType([f for f in cur.fields if f.name != name])
+        schemas = dict(self.meta.get("schemas") or {str(v): s.jsonValue() for v, s in DOCS_SCHEMAS.items()})
+        schemas[str(new_sv)] = new_schema.jsonValue()
+        self.commit(
+            {}, set(), None,
+            schema_version=new_sv,
+            meta_updates={"schemas": schemas},
+        )
+        return {"column": name, "schema_version": new_sv, "version": self.version}
 
     def widen_column(self, name: str, new_type) -> dict:
         """``ALTER TABLE ALTER COLUMN TYPE`` restricted to lossless

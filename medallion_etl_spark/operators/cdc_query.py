@@ -490,6 +490,102 @@ ORDER BY doc_id
 """
 
 
+def cdc_schema_evolution_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Mid-stream DDL under the driver's own correctness gate: replay
+    the first half of the change stream at the bootstrap schema, run
+    ``add_column('score','double')`` — a pure-metadata commit declaring
+    a version NO code registry ever knew — then resume with the tail
+    carrying the column at the declared version. The final state is
+    read at the evolved schema: keys last touched before the DDL read
+    NULL (old files aligned on read), keys touched after carry the
+    payload value. The oracle expresses the same rule as one window
+    query, so the gate checks the whole DDL-first evolution contract:
+    declare -> resume -> align -> merge -> read.
+
+    Keys are sub-partitioned (user x lsn%16) so each key has only a
+    handful of events and a visible share of keys' LAST event precedes
+    the DDL — the oracle rows then exercise BOTH alignment sides
+    (payload carried vs NULL read from pre-DDL files)."""
+    events = T(spark, sf, "events")
+    stream = _as_change_stream(events).withColumn(
+        "doc_id", F.concat(F.col("doc_id"), F.lit("-"), F.col("lsn") % 16)
+    )
+    bounds = events.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    chunk = max(hi // 4, 1)
+    split = lo + 3 * chunk  # DDL lands at the 3/4 chunk boundary
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        f"cdc_evolve_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    root = f"{tmp}/t"
+    table = LakeTable.create(root, n_buckets=8, schema_version=2)
+    replay(spark, stream.filter(F.col("lsn") < split), table, chunk_size=chunk)
+
+    new_sv = LakeTable.load(root).add_column("score", "double")["schema_version"]
+    # floor-based payload: bit-identical in Spark and DuckDB (FLOOR
+    # yields an integer; one IEEE division each side)
+    score = F.when(
+        (F.col("op") != "D") & (F.col("lsn") >= split),
+        F.floor(F.col("_value") * 1000) / 100.0,
+    )
+    evolved = (
+        stream.join(
+            events.select(
+                F.col("event_id").alias("lsn"), F.col("value").alias("_value")
+            ),
+            "lsn",
+        )
+        .withColumn("score", score)
+        .withColumn(
+            "schema_version",
+            F.when(F.col("lsn") >= split, F.lit(new_sv)).otherwise(
+                F.col("schema_version")
+            ),
+        )
+        .drop("_value")
+    )
+    replay(spark, evolved, LakeTable.load(root), chunk_size=chunk)
+
+    final = LakeTable.load(root).read(spark)
+    return final.select(
+        "doc_id",
+        F.element_at("tokens", 1).alias("tok_value"),
+        F.element_at("tokens", 2).alias("tok_user"),
+        F.element_at("tokens", 3).alias("last_lsn"),
+        "n_tok",
+        F.col("source").alias("last_type"),
+        "score",
+    ).orderBy("doc_id")
+
+
+CDC_SCHEMA_EVOLUTION_STATE_SQL = """
+WITH split AS (
+  SELECT min(event_id) + 3 * GREATEST(max(event_id) // 4, 1) AS at FROM events
+),
+latest AS (
+  SELECT concat('u', user_id, '-', event_id % 16) AS doc_id,
+         CAST(FLOOR(value * 100) AS INT) AS tok_value,
+         CAST(user_id AS INT) AS tok_user,
+         CAST(event_id AS INT) AS last_lsn,
+         CAST(3 AS BIGINT) AS n_tok,
+         event_type AS last_type,
+         CASE WHEN event_id >= (SELECT at FROM split)
+              THEN FLOOR(value * 1000) / 100.0 END AS score
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id, event_id % 16 ORDER BY event_id DESC) = 1
+    AND event_type <> 'error'
+)
+SELECT doc_id, tok_value, tok_user, last_lsn, n_tok, last_type, score
+FROM latest
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "cdc_replay_latest_state": (cdc_replay_latest_state, CDC_REPLAY_LATEST_STATE_SQL),
     "cdc_replay_mor_state": (cdc_replay_mor_state, CDC_REPLAY_LATEST_STATE_SQL),
@@ -499,4 +595,8 @@ QUERIES = {
     "cdc_merge_into_state": (cdc_merge_into_state, CDC_MERGE_INTO_STATE_SQL),
     "cdc_convert_documents": (cdc_convert_documents, CDC_CONVERT_DOCUMENTS_SQL),
     "cdc_restore_reconverge": (cdc_restore_reconverge, CDC_REPLAY_LATEST_STATE_SQL),
+    "cdc_schema_evolution_state": (
+        cdc_schema_evolution_state,
+        CDC_SCHEMA_EVOLUTION_STATE_SQL,
+    ),
 }

@@ -52,6 +52,11 @@ def get_spark(
     # everywhere so results hash identically; override via extra_conf.
     # Exercised end-to-end by tests/test_spark_submit.py.
     under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    # SPARK_GRAFT_MASTER: master-URL override for scaling experiments —
+    # e.g. local-cluster[4,1,16384] runs REAL separate executor JVMs
+    # (per-executor heaps, serialization boundaries) instead of
+    # local[N] threads; see bench.py --scaling --cluster-jvms
+    master_override = os.environ.get("SPARK_GRAFT_MASTER")
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
@@ -73,7 +78,7 @@ def get_spark(
     )
     if not under_submit:
         builder = (
-            builder.master(f"local[{n}]")
+            builder.master(master_override or f"local[{n}]")
             .config("spark.sql.shuffle.partitions", str(shuffle))
             .config("spark.default.parallelism", str(n))
             .config(

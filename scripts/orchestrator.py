@@ -276,6 +276,12 @@ def cmd_add_column(spark, args) -> dict:
     return LakeTable.load(_table_root(args.out)).add_column(args.name, args.type)
 
 
+def cmd_drop_column(spark, args) -> dict:
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    return LakeTable.load(_table_root(args.out)).drop_column(args.name)
+
+
 def cmd_widen_column(spark, args) -> dict:
     from medallion_etl_spark.cdc.table import LakeTable
 
@@ -405,6 +411,8 @@ def main() -> None:
     p = sub.add_parser("add-column")
     p.add_argument("name")
     p.add_argument("type", help="DDL type ('double', 'array<int>', ...); column is nullable")
+    p = sub.add_parser("drop-column")
+    p.add_argument("name")
     p = sub.add_parser("widen-column")
     p.add_argument("name")
     p.add_argument("type", help="lossless widening target (int->bigint, float->double, ...)")
@@ -436,6 +444,7 @@ def main() -> None:
         "drop-constraint": cmd_drop_constraint,
         "expire": cmd_expire,
         "add-column": cmd_add_column,
+        "drop-column": cmd_drop_column,
         "widen-column": cmd_widen_column,
     }
     result = dispatch[args.layer](spark, args)

@@ -148,3 +148,30 @@ def test_restore_keeps_schema_declarations(spark, tmp_path):
     final = LakeTable.load(root)
     assert final.schema_version == new_sv
     assert final.read(spark).filter(F.col("score").isNotNull()).count() > 0
+
+
+def test_drop_column_and_name_reservation(spark, tmp_path):
+    """DROP COLUMN is a pure metadata commit: reads at the new version
+    never select the column (old files keep the bytes), and the name
+    stays reserved — name-based alignment would resurrect the old
+    stored values on a re-add."""
+    root = str(tmp_path / "t")
+    LakeTable.create(root, n_buckets=4)
+    ev = gen_events(spark, n_events=400, n_keys=40)
+    replay(spark, ev, LakeTable.load(root), chunk_size=400)
+
+    t = LakeTable.load(root)
+    assert "lang" in t.read(spark).columns
+    with pytest.raises(ValueError, match="key column"):
+        t.drop_column("doc_id")
+    res = t.drop_column("lang")
+    t = LakeTable.load(root)
+    assert t.schema_version == res["schema_version"]
+    df = t.read(spark)
+    assert "lang" not in df.columns
+    assert df.count() > 0
+    with pytest.raises(ValueError, match="resurrect"):
+        t.add_column("lang", "string")
+    # pre-drop snapshots still expose the column
+    old = LakeTable.load_version(root, res["version"] - 1)
+    assert "lang" in old.read(spark).columns
