@@ -373,8 +373,54 @@ ORDER BY cosine DESC, vec_a, vec_b
 """
 
 
+# --------------------------------------------------------------------------
+# Benchmark decontamination: flag training docs that share word-shingles
+# with a held-out evaluation set (the published GPT-3 appendix-C /
+# Pile-style n-gram decontamination step). On the testdata the eval set
+# is the deterministic doc_id % 20 == 0 slice; contamination = any
+# shared distinct shingle, reported per doc with its hit count so the
+# pipeline can threshold or hard-drop.
+#
+# Scale shape: the eval set is SMALL by nature (a benchmark), so its
+# distinct-shingle relation broadcasts — the corpus-side explode joins
+# map-side and the corpus text never shuffles; cost is one corpus scan
+# + one small aggregation. At 100 TB this is the only shape that works:
+# an all-pairs or corpus-shuffling plan would be quadratic or move the
+# training text for a filter that discards almost nothing.
+
+
+def decontaminate_against_benchmark(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spread(spark, T(spark, sf, "documents"))
+    flat = docs.select("doc_id", F.explode(_shingles(_words())).alias("shingle"))
+    is_bench = F.col("doc_id") % 20 == 0
+    bench = flat.filter(is_bench).select("shingle").distinct()
+    return (
+        flat.filter(~is_bench)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bench_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+flat AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+bench AS (SELECT DISTINCT shingle FROM flat WHERE doc_id % 20 = 0)
+SELECT f.doc_id, count(*) AS n_bench_shingles
+FROM flat f JOIN bench USING (shingle)
+WHERE f.doc_id % 20 <> 0
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_DOCS_SQL),
+    "decontaminate_against_benchmark": (
+        decontaminate_against_benchmark,
+        DECONTAMINATE_SQL,
+    ),
     "ngram_jaccard_topk": (ngram_jaccard_topk, NGRAM_JACCARD_TOPK_SQL),
     "minhash_near_dup_pairs": (minhash_near_dup_pairs, MINHASH_NEAR_DUP_PAIRS_SQL),
     "simhash_clusters": (simhash_clusters, SIMHASH_CLUSTERS_SQL),

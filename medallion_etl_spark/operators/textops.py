@@ -251,8 +251,60 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Training-mix sampling: per-source deterministic downsampling toward a
+# token budget (the published data-mixing step every large pretraining
+# corpus applies — per-source rates, e.g. upsample books, downsample
+# crawl). The keep decision is a pure function of (source, doc_id) via
+# md5 — NOT rand(): deterministic across engines (oracle-checkable),
+# across retries (a re-run keeps the same docs — exactly-once pipelines
+# need this), and across partitionings (no seed-per-partition drift).
+#
+# Scale shape: one scan, a per-row expression filter, one partial-agg
+# rollup — no shuffle of document text, no driver involvement; the
+# sampling filter pushes into the scan's projection so at 100 TB the
+# cost is the read itself.
+
+# per-source keep-rate in percent: sources rotate through 25/50/75/100
+_MIX_RATE_SQL = "(CAST(substring(source, 4) AS INT) % 4 + 1) * 25"
+# deterministic 0..99 bucket from the md5 hex of source|doc_id: ascii
+# arithmetic (not hex parsing) because Spark and DuckDB share ascii()/
+# substring()/md5() semantics exactly
+_MIX_BUCKET_SQL = (
+    "(ascii(substring(md5(concat(source, '|', CAST(doc_id AS STRING))), 1, 1)) * 31"
+    " + ascii(substring(md5(concat(source, '|', CAST(doc_id AS STRING))), 2, 1))) % 100"
+)
+
+
+def training_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    kept = docs.filter(F.expr(f"{_MIX_BUCKET_SQL} < {_MIX_RATE_SQL}"))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+            F.expr(f"any_value({_MIX_RATE_SQL})").alias("rate_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+TRAINING_MIX_SAMPLE_SQL = f"""
+SELECT source,
+       count(*) AS n_docs_kept,
+       CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+       CAST({_MIX_RATE_SQL.replace("AS STRING", "AS VARCHAR")} AS INT) AS rate_pct
+FROM documents
+WHERE ({_MIX_BUCKET_SQL.replace("AS STRING", "AS VARCHAR")}) < ({_MIX_RATE_SQL})
+GROUP BY source, 4
+ORDER BY source
+"""
+
+
 QUERIES = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
+    "training_mix_sample": (training_mix_sample, TRAINING_MIX_SAMPLE_SQL),
     "doc_quality_scores": (doc_quality_scores, DOC_QUALITY_SCORES_SQL),
     "lang_id_ngram": (lang_id_ngram, LANG_ID_NGRAM_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),

@@ -95,6 +95,33 @@ def test_lww_dedup_agg_strategy_has_partial_agg(spark, sf_small):
     assert "partial_max_by" in p and "Exchange" in p
 
 
+def test_decontamination_broadcasts_eval_side(spark, sf_small):
+    """The benchmark side is small by nature — it must broadcast so the
+    corpus-side shingles join map-side and the training text never
+    shuffles. A SortMergeJoin here would shuffle the whole corpus at
+    100 TB for a filter that drops almost nothing."""
+    from medallion_etl_spark.operators.dedup_text import (
+        decontaminate_against_benchmark,
+    )
+
+    p = plan(decontaminate_against_benchmark(spark, sf_small))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_training_mix_filter_stays_jvm_side(spark, sf_small):
+    """The deterministic md5 keep-filter is pure SQL expression — no
+    Python eval node may appear, and the scan must read only the three
+    columns the query touches (never the document text)."""
+    from medallion_etl_spark.operators.textops import training_mix_sample
+
+    p = plan(training_mix_sample(spark, sf_small))
+    assert "EvalPython" not in p  # Batch/ArrowEvalPython = row-path Python
+    read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "source" in read_schema and "n_chars" in read_schema
+    assert "text" not in read_schema
+
+
 def test_ngram_jaccard_reuses_persisted_shingles(spark, sf_small):
     """The exploded shingle frame feeds sizes, the DF cap and both
     self-join sides — it must be served from cache (InMemoryTableScan),
