@@ -17,11 +17,13 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from . import (
         cdc_query,
         coverage,
+        dedup_cluster,
         dedup_text,
         incremental,
         medallion,
         multimodal,
         similarity,
+        sketch,
         textops,
     )
 
@@ -33,7 +35,9 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         coverage,
         textops,
         dedup_text,
+        dedup_cluster,
         similarity,
+        sketch,
         multimodal,
     ):
         out.update(mod.QUERIES)

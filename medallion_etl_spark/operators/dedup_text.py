@@ -179,7 +179,10 @@ def _minhash_sig(shingles: F.Column) -> F.Column:
     return F.array(*[mh(i) for i in range(N_HASHES)])
 
 
-def minhash_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+def _minhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) from LSH band buckets,
+    with the signature-agreement estimate — shared by the pair report
+    and the connected-components clustering in dedup_cluster.py."""
     docs = spread(spark, T(spark, sf, "documents"))
     # persist: the signature pipeline (9 md5 passes over every shingle)
     # feeds BOTH sides of the band self-join and the final similarity —
@@ -226,9 +229,12 @@ def minhash_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     est = F.size(F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)) / F.lit(
         float(N_HASHES)
     )
-    return (
-        cand.select("doc_a", "doc_b", "n_shared_bands", F.round(est, 6).alias("est_jaccard"))
-        .orderBy(F.col("est_jaccard").desc(), "doc_a", "doc_b")
+    return cand.select("doc_a", "doc_b", "n_shared_bands", F.round(est, 6).alias("est_jaccard"))
+
+
+def minhash_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return _minhash_candidates(spark, sf).orderBy(
+        F.col("est_jaccard").desc(), "doc_a", "doc_b"
     )
 
 
@@ -243,8 +249,9 @@ _BAND_STRUCTS_SQL = ", ".join(
 )
 _MH_EQ_SQL = " + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))
 
-MINHASH_NEAR_DUP_PAIRS_SQL = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+# the CTE chain up to `cand` (doc_a, doc_b, n_shared_bands, n_eq) —
+# shared with the connected-components oracle in dedup_cluster.py
+MINHASH_CAND_CTES = f"""sh AS ({_SHINGLES_SQL}),
 sig AS (SELECT doc_id, {_MH_COLS_SQL} FROM sh),
 bands AS (
   SELECT doc_id, {', '.join(f'mh{i}' for i in range(N_HASHES))}, unnest([{_BAND_STRUCTS_SQL}], recursive := true)
@@ -257,7 +264,10 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 4
-)
+)"""
+
+MINHASH_NEAR_DUP_PAIRS_SQL = f"""
+WITH {MINHASH_CAND_CTES}
 SELECT doc_a, doc_b, n_shared_bands,
        round(n_eq / {float(N_HASHES)}, 6) AS est_jaccard
 FROM cand

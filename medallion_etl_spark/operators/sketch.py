@@ -1,0 +1,161 @@
+"""Mergeable distinct-count sketches for rollup tables.
+
+Two variants of the same KPI (distinct users per event type + the
+merged ALL row):
+
+- ``kmv_distinct_users``: a K-minimum-values sketch (Bar-Yossef et al.
+  2002) built from md5 hashes — keep the K smallest distinct hash
+  values per group; estimate = (K-1) / frac(K-th smallest). Unlike
+  HLL, KMV over a fixed hash is fully DETERMINISTIC, so the DuckDB
+  oracle reproduces it bit-for-bit — this is the oracle-checkable
+  sketch. Mergeability is demonstrated in-query: the ``__ALL__`` row
+  is computed by merging the per-group sketches (union the kept
+  hashes, re-take the K smallest), never by rescanning the input —
+  exactly how a 100 TB rollup tree folds partial sketches upward.
+- ``hll_distinct_users``: the production path — Spark 4's built-in
+  Apache DataSketches HLL (``hll_sketch_agg``), a binary, mergeable
+  sketch column. Estimates are library-specific so no cross-engine
+  oracle exists (the driver records a rows-only check); accuracy is
+  pinned by pytest against exact counts instead.
+
+Scale shape (KMV): the shuffle carries (group, 32-char digest) pairs
+only — distinct-reduced map-side by the partial aggregate Spark plans
+for DISTINCT — and the per-group sort that ranks hashes is bounded by
+the group's distinct count. A production deployment at extreme
+cardinality would fold min-K partially per partition (a JVM Aggregator
+or the HLL variant); the HLL entry IS that path, built in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table as T
+
+K = 64
+_FRAC_DEN = float(16**12)  # 12 hex digits < 2^48: exact in double on both engines
+
+
+def _frac(h: F.Column) -> F.Column:
+    """md5 hex digest -> uniform (0,1) fraction of its first 12 hex
+    digits. conv() yields a decimal string; the double cast is exact
+    below 2^53."""
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("double") / F.lit(_FRAC_DEN)
+
+
+# same fraction in DuckDB: left fold acc*16 + digit over the hex chars
+_FRAC_SQL = (
+    "(list_reduce(list_transform(range(1, 13), i -> "
+    "CAST(strpos('0123456789abcdef', {h}[i:i]) - 1 AS DOUBLE)), "
+    f"(a, b) -> a * 16 + b) / {_FRAC_DEN!r})"
+)
+
+
+def _estimate(n_kept: F.Column, kth: F.Column) -> F.Column:
+    # sketch not full -> it saw every distinct value: exact count
+    return F.when(n_kept < K, n_kept.cast("double")).otherwise(
+        F.round(F.lit(float(K - 1)) / _frac(kth), 6)
+    )
+
+
+def kmv_by_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """(source, n_kept, kmv_estimate, exact_distinct) per group plus the
+    merged ``__ALL__`` row — the reusable sketch core; see module doc."""
+    ev = df.select(
+        F.col(group_col).alias("source"),
+        F.md5(F.encode(F.col(value_col).cast("string"), "UTF-8")).alias("h"),
+    )
+    h = ev.distinct()
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("h"))
+    kept = h.withColumn("rn", rn).filter(F.col("rn") <= K)
+    exact = h.groupBy("source").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    per_source = (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth"))
+        .join(exact, "source")
+    )
+    # __ALL__ = merge of the per-source sketches: k smallest of the
+    # union of kept hashes (each group's min-K contains every global
+    # min-K member from that group) — the input is never rescanned
+    merged_kept = (
+        kept.select("h").distinct().orderBy("h").limit(K)
+    )
+    merged = merged_kept.agg(
+        F.lit("__ALL__").alias("source"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("kth"),
+    ).crossJoin(h.select("h").distinct().agg(F.count(F.lit(1)).alias("exact_distinct")))
+    both = per_source.unionByName(merged)
+    return both.select(
+        "source",
+        F.col("n_kept").cast("int").alias("n_kept"),
+        _estimate(F.col("n_kept"), F.col("kth")).alias("kmv_estimate"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    ).orderBy("source")
+
+
+def kmv_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    return kmv_by_group(T(spark, sf, "events"), "event_type", "user_id")
+
+
+KMV_DISTINCT_USERS_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type AS source, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+),
+ranked AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM h
+),
+kept AS (SELECT source, h FROM ranked WHERE rn <= {K}),
+per_source AS (
+  SELECT k.source, count(*) AS n_kept, max(k.h) AS kth, e.exact_distinct
+  FROM kept k
+  JOIN (SELECT source, count(*) AS exact_distinct FROM h GROUP BY 1) e
+    ON e.source = k.source
+  GROUP BY k.source, e.exact_distinct
+),
+merged_kept AS (
+  SELECT h FROM (SELECT DISTINCT h FROM kept) ORDER BY h LIMIT {K}
+),
+merged AS (
+  SELECT '__ALL__' AS source, count(*) AS n_kept, max(h) AS kth,
+         (SELECT count(DISTINCT h) FROM h) AS exact_distinct
+  FROM merged_kept
+),
+unioned AS (SELECT * FROM per_source UNION ALL SELECT * FROM merged)
+SELECT source,
+       CAST(n_kept AS INT) AS n_kept,
+       CASE WHEN n_kept < {K} THEN CAST(n_kept AS DOUBLE)
+            ELSE round({float(K - 1)} / {_FRAC_SQL.format(h='kth')}, 6)
+       END AS kmv_estimate,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM unioned
+ORDER BY source
+"""
+
+
+def hll_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Production sketch path: DataSketches HLL per group, merged via
+    ``hll_union_agg`` for the ALL row — binary sketches a rollup tree
+    folds without touching raw data. No cross-engine oracle (estimates
+    are library-specific); accuracy pinned in tests/test_sketch.py."""
+    ev = T(spark, sf, "events").select(
+        F.col("event_type").alias("source"), F.col("user_id")
+    )
+    per = ev.groupBy("source").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = per.agg(
+        F.lit("__ALL__").alias("source"), F.hll_union_agg("sk").alias("sk")
+    )
+    return (
+        per.unionByName(merged)
+        .select("source", F.hll_sketch_estimate("sk").alias("hll_estimate"))
+        .orderBy("source")
+    )
+
+
+QUERIES = {
+    "kmv_distinct_users": (kmv_distinct_users, KMV_DISTINCT_USERS_SQL),
+    "hll_distinct_users": (hll_distinct_users, None),
+}
