@@ -15,6 +15,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from . import (
+        asof,
         cdc_query,
         coverage,
         dedup_cluster,
@@ -38,6 +39,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         dedup_cluster,
         similarity,
         sketch,
+        asof,
         multimodal,
     ):
         out.update(mod.QUERIES)
