@@ -23,6 +23,8 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         incremental,
         medallion,
         multimodal,
+        rangejoin,
+        sessionize,
         similarity,
         sketch,
         textops,
@@ -40,6 +42,8 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         similarity,
         sketch,
         asof,
+        rangejoin,
+        sessionize,
         multimodal,
     ):
         out.update(mod.QUERIES)
