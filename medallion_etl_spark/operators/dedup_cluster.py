@@ -53,6 +53,11 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS) -> Dat
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # labels only ever DECREASE (min folds), so Σlabel strictly drops
+    # until the fixpoint: an unchanged sum IS convergence. One cheap
+    # aggregate per round instead of an anti-join traversal. decimal
+    # accumulation so billions of long ids cannot overflow the sum.
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_rounds):
         prop = edges.join(
             labels.withColumnRenamed("node", "src"), "src"
@@ -72,10 +77,11 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS) -> Dat
             .select("node", F.col("_jump").alias("label"))
             .localCheckpoint()  # cut lineage: O(1) plan per round
         )
-        changed = new.join(labels, ["node", "label"], "left_anti").count()
+        new_sum = new.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
     edges.unpersist()
