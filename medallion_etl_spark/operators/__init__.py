@@ -24,6 +24,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         medallion,
         multimodal,
         rangejoin,
+        scd,
         sessionize,
         similarity,
         sketch,
@@ -44,6 +45,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         asof,
         rangejoin,
         sessionize,
+        scd,
         multimodal,
     ):
         out.update(mod.QUERIES)
