@@ -318,8 +318,187 @@ ORDER BY label, vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the third point on the ANN ladder —
+# brute-force (exact baseline) -> LSH (data-independent buckets) ->
+# IVF (data-DEPENDENT coarse quantizer, the FAISS IndexIVFFlat shape).
+#
+# Train: C deterministic seed vectors -> one Lloyd refinement (assign
+# every vector to its nearest seed, re-average per cell). Assignment is
+# a MAP-ONLY JVM fold: the centroid table is metadata-sized (C x DIM
+# doubles), collected once and embedded as an array<struct> literal, so
+# finding the nearest cell is `array_min` over per-cell distances — no
+# N x C fan-out join, no shuffle. The only shuffles in the whole build
+# are the C-row refinement aggregate and the final top-k window.
+#
+# Cross-engine determinism: refined centroids use decimal(38,6)
+# accumulation (exprs.davg pattern) so the per-dim means are exact and
+# order-independent — Spark and DuckDB derive bit-identical centroids,
+# and every distance is the same left-to-right double fold, so both
+# engines assign identical cells and probe identical candidates.
+
+N_CELLS = 16  # coarse-quantizer cells (seeds = vec_id N_QUERIES..N_QUERIES+15)
+N_PROBE = 4  # cells each query searches
+
+_DEC = "decimal(38,6)"
+
+
+def _min_cell(v: F.Column, centroids: list[tuple[int, list[float]]]) -> F.Column:
+    """Nearest-cell id via a JVM lexicographic array_min over
+    (squared-distance, cell) structs — map-only, no join."""
+    entries = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(x) for x in c]), lambda e, s: (e - s) * (e - s)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.lit(cell).alias("cell"),
+        )
+        for cell, c in centroids
+    ]
+    return F.array_min(F.array(*entries))
+
+
+def _refined_centroids(n: DataFrame) -> list[tuple[int, list[float]]]:
+    """One Lloyd pass: assign to seed cells, re-average per cell with
+    exact decimal sums. Returns the (metadata-sized) refined centroid
+    table, deterministically equal to the oracle's."""
+    seeds = [
+        (int(r["vec_id"]) - N_QUERIES, list(r["v"]))
+        for r in n.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+        ).collect()
+    ]
+    assigned = n.withColumn("cell", _min_cell(F.col("v"), seeds).getField("cell"))
+    refined = assigned.groupBy("cell").agg(
+        *[
+            (F.sum(F.col("v")[i].cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(f"c{i}")
+            for i in range(DIM)
+        ]
+    )
+    return sorted(
+        (int(r["cell"]), [r[f"c{i}"] for i in range(DIM)]) for r in refined.collect()
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    n = _normed(spark, sf)
+    cents = _refined_centroids(n)
+    data = n.withColumn("cell", _min_cell(F.col("v"), cents).getField("cell"))
+    # each query probes its N_PROBE nearest cells: sort the per-cell
+    # (dist, cell) structs, slice, explode — still pure JVM expressions
+    probe_cells = F.transform(
+        F.slice(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            F.aggregate(
+                                F.zip_with(
+                                    F.col("v"),
+                                    F.array(*[F.lit(x) for x in c]),
+                                    lambda e, s: (e - s) * (e - s),
+                                ),
+                                F.lit(0.0),
+                                lambda acc, x: acc + x,
+                            ).alias("d"),
+                            F.lit(cell).alias("cell"),
+                        )
+                        for cell, c in cents
+                    ]
+                )
+            ),
+            1,
+            N_PROBE,
+        ),
+        lambda s: s.getField("cell"),
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.explode(probe_cells).alias("cell"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm"))
+    scored = (
+        F.broadcast(q)
+        .join(data, ["cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _dist2_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {DIM + 1}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH n AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), nn AS (
+  SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS norm FROM n
+), seeds AS (
+  SELECT vec_id - {N_QUERIES} AS cell, v AS sv FROM n
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+), a1 AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY {_dist2_sql('v', 'sv')}, cell) AS rn
+  FROM n, seeds
+), cent AS (
+  SELECT cell,
+         list(CAST(s AS DOUBLE) / cnt ORDER BY i) AS cv
+  FROM (
+    SELECT cell, t.i AS i,
+           SUM(CAST(v[t.i] AS DECIMAL(38,6))) AS s,
+           COUNT(*) AS cnt
+    FROM a1, range(1, {DIM + 1}) t(i)
+    WHERE rn = 1
+    GROUP BY cell, t.i
+  )
+  GROUP BY cell
+), a2 AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY {_dist2_sql('v', 'cv')}, cell) AS rn
+  FROM n, cent
+), probes AS (
+  SELECT q.vec_id AS query_id, cent.cell,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_dist2_sql('q.v', 'cv')}, cent.cell) AS rn
+  FROM n q, cent
+  WHERE q.vec_id < {N_QUERIES}
+), scored AS (
+  SELECT p.query_id, c.vec_id,
+         round({_dot_sql('q.v', 'c.v')} / (q.norm * c.norm), 6) AS cosine
+  FROM probes p
+  JOIN (SELECT vec_id, cell FROM a2 WHERE rn = 1) asg ON asg.cell = p.cell
+  JOIN nn c ON c.vec_id = asg.vec_id
+  JOIN nn q ON q.vec_id = p.query_id
+  WHERE p.rn <= {N_PROBE} AND c.vec_id <> p.query_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank,
+       vec_id, cosine
+FROM scored
+QUALIFY rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_BRUTEFORCE_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_TOPK_SQL),
     "embedding_centroid_distance": (embedding_centroid_distance, EMBEDDING_CENTROID_DISTANCE_SQL),
 }
