@@ -18,6 +18,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         asof,
         cdc_query,
         coverage,
+        curation,
         dedup_cluster,
         dedup_text,
         incremental,
@@ -40,6 +41,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         textops,
         dedup_text,
         dedup_cluster,
+        curation,
         similarity,
         sketch,
         asof,

@@ -1,0 +1,178 @@
+"""End-to-end training-corpus curation funnel — the composition proof
+that the individual training-data ops (quality scoring, exact dedup,
+benchmark decontamination, mix sampling) chain into ONE Catalyst plan
+a real pretraining-data pipeline would run:
+
+    quality filter        (drop low-score docs)
+ -> exact dedup           (keep min doc_id per content digest)
+ -> eval-set exclusion    (benchmark slice never trains)
+ -> decontamination       (drop docs whose shingle containment in the
+                           eval set reaches CONTAM_NUM/CONTAM_DEN)
+ -> mix sampling          (deterministic per-source keep rate)
+ -> per-source summary    (docs, chars, summed quality)
+
+Scale shape, stage by stage: the quality filter is a per-row codegen
+expression evaluated AT THE SCAN, so everything downstream sees only
+survivors; exact dedup shuffles (digest, doc_id) pairs — never text —
+then rejoins by id; the benchmark shingle set is small by nature (a
+held-out eval set) so decontamination is a broadcast semi/anti join
+against the survivors' exploded shingles; mix sampling is another
+per-row expression; the final rollup is an ordinary partial-agg. The
+document text is read once and never shuffled anywhere in the funnel.
+
+Every stage reuses the EXACT expressions of its standalone oracle-
+paired operator (textops.doc_quality_scores, dedup_text
+.exact_dedup_docs / decontaminate_against_benchmark,
+textops.training_mix_sample), so this query is also a regression lock:
+if any component drifts from its oracle the composition goes red too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table as T
+from .dedup_text import _shingles, _words, _SHINGLES_SQL
+from .textops import _MIX_BUCKET_SQL, _MIX_RATE_SQL, STOPWORDS, _STOP_SQL
+from .util import spread
+
+QUALITY_MIN = 0.4  # keeps ~2/3 of the synthetic corpus (median 0.45)
+# a doc is contaminated when >= 80% of its DISTINCT shingles appear in
+# the benchmark (containment ratio, GPT-3-appendix-C style). A RATIO,
+# not an absolute hit count, because incidental trigram overlap grows
+# with eval-set size — an absolute threshold that works at one corpus
+# scale degenerates at 10x. Compared as n_hits*5 >= n_sh*4: integer
+# arithmetic, so no float knife-edge can split the two engines.
+CONTAM_NUM, CONTAM_DEN = 4, 5  # ratio >= 4/5
+
+
+def _quality(col: str = "text") -> F.Column:
+    """The doc_quality_scores composite, verbatim (rounded to 6 so the
+    threshold comparison is knife-edge-free in both engines)."""
+    lowered = F.lower(col)
+    words = F.split(lowered, " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))) / n_words
+    punct_ratio = F.regexp_count(lowered, F.lit("[^a-z0-9 ]")) / F.length(col)
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.2
+    )
+    return F.round(score, 6)
+
+
+def curated_training_mix(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spread(spark, T(spark, sf, "documents"))
+    is_bench = F.col("doc_id") % 20 == 0
+
+    # 1. quality gate (scan-level expression filter)
+    qual = docs.withColumn("q", _quality()).filter(F.col("q") >= QUALITY_MIN)
+
+    # 2. exact dedup among survivors: shuffle only (digest, id) pairs,
+    #    keep the min doc_id of each content group, rejoin by id
+    digest = F.md5(F.encode(F.lower(F.trim("text")), "UTF-8"))
+    canon = (
+        qual.select(digest.alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = qual.join(canon, "doc_id", "left_semi")
+
+    # 3. benchmark shingles come from the FULL corpus eval slice (the
+    #    eval set is external to the funnel, quality-filtering it would
+    #    weaken the contamination check); training docs sharing any
+    #    shingle are dropped, and the eval slice itself never trains
+    flat_all = docs.select("doc_id", F.explode(_shingles(_words())).alias("shingle"))
+    bench = flat_all.filter(is_bench).select("shingle").distinct()
+    sizes = flat_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        flat_all.filter(~is_bench)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    contaminated = (
+        hits.join(sizes, "doc_id")
+        .filter(F.col("n_hits") * CONTAM_DEN >= F.col("n_sh") * CONTAM_NUM)
+        .select("doc_id")
+    )
+    clean = (
+        deduped.filter(~is_bench)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+    )
+
+    # 4. deterministic mix sampling (pure row expression, no rand())
+    sampled = clean.filter(F.expr(f"{_MIX_BUCKET_SQL} < {_MIX_RATE_SQL}"))
+
+    # 5. per-source summary. Quality is reported as the decimal-exact
+    #    SUM (dsum convention), not a mean: sum/count can land exactly
+    #    on a .5e-6 half-point where Spark and DuckDB round() disagree,
+    #    while the 6-decimal sum has one canonical double.
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("q").cast("decimal(38,6)")).cast("double").alias("sum_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIX_BUCKET_DUCK = _MIX_BUCKET_SQL.replace("AS STRING", "AS VARCHAR")
+
+CURATED_TRAINING_MIX_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, source, n_chars, text,
+         string_split(lower(text), ' ') AS words
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, n_chars, text,
+         round(
+           least(len(words) / 100.0, 1.0) * 0.4
+           + (len(list_filter(words, w -> list_contains({_STOP_SQL}, w))) * 1.0
+              / len(words)) * 0.4
+           + (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) * 1.0
+              / length(text)) * 0.2,
+         6) AS q
+  FROM feats
+), qual AS (
+  SELECT * FROM scored WHERE q >= {QUALITY_MIN}
+), canon AS (
+  SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(lower(trim(text)))
+), sh AS ({_SHINGLES_SQL}),
+flat AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+bench AS (SELECT DISTINCT shingle FROM flat WHERE doc_id % 20 = 0),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM flat GROUP BY 1),
+hits AS (
+  SELECT f.doc_id, count(*) AS n_hits FROM flat f JOIN bench USING (shingle)
+  WHERE f.doc_id % 20 <> 0 GROUP BY 1
+),
+contaminated AS (
+  SELECT h.doc_id FROM hits h JOIN sizes s USING (doc_id)
+  WHERE h.n_hits * {CONTAM_DEN} >= s.n_sh * {CONTAM_NUM}
+), final AS (
+  SELECT q.source, q.n_chars, q.q
+  FROM qual q
+  JOIN canon USING (doc_id)
+  WHERE q.doc_id % 20 <> 0
+    AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND ({_MIX_BUCKET_DUCK}) < ({_MIX_RATE_SQL})
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) AS sum_quality
+FROM final
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES = {
+    "curated_training_mix": (curated_training_mix, CURATED_TRAINING_MIX_SQL),
+}
