@@ -302,8 +302,55 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus length-distribution percentiles: the standard pre-training
+# diagnostic (sequence-length budgeting, truncation-rate estimation,
+# outlier triage) — exact interpolated percentiles per source.
+#
+# Scale shape: Spark's exact `percentile` buffers each group's values
+# in the aggregation state, which is fine for per-SOURCE groups (the
+# group count is tiny and fixed) but the honest 100-TB default for
+# high-cardinality groups is `approx_percentile` (KLL-style mergeable
+# sketch, bounded state) — same plan, swap the function;
+# tests/test_percentiles.py pins approx-vs-exact agreement. The exact
+# variant is the oracle-paired one because DuckDB's quantile_cont uses
+# the identical (n-1)*p linear interpolation.
+
+PCTS = [0.5, 0.9, 0.99]
+
+
+def doc_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    pct = F.percentile(F.col("n_chars"), F.array(*[F.lit(p) for p in PCTS]))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(pct[0], 6).alias("p50_chars"),
+            F.round(pct[1], 6).alias("p90_chars"),
+            F.round(pct[2], 6).alias("p99_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_LENGTH_PERCENTILES_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
+    "doc_length_percentiles": (doc_length_percentiles, DOC_LENGTH_PERCENTILES_SQL),
     "training_mix_sample": (training_mix_sample, TRAINING_MIX_SAMPLE_SQL),
     "doc_quality_scores": (doc_quality_scores, DOC_QUALITY_SCORES_SQL),
     "lang_id_ngram": (lang_id_ngram, LANG_ID_NGRAM_SQL),
