@@ -24,6 +24,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         incremental,
         medallion,
         multimodal,
+        packing,
         rangejoin,
         scd,
         sessionize,
@@ -48,6 +49,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         rangejoin,
         sessionize,
         scd,
+        packing,
         multimodal,
     ):
         out.update(mod.QUERIES)
