@@ -83,6 +83,10 @@ HEADLINE = [
     "minhash_near_dup_pairs",
     "ann_topk_bruteforce",
     "doc_quality_scores",
+    # round-3 families (each <~1s at sf0.1: window/agg-shaped)
+    "scd2_user_type",
+    "packed_sequences",
+    "doc_length_percentiles",
 ]
 
 
