@@ -26,6 +26,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         multimodal,
         packing,
         rangejoin,
+        repetition,
         scd,
         sessionize,
         similarity,
@@ -40,6 +41,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         incremental,
         coverage,
         textops,
+        repetition,
         dedup_text,
         dedup_cluster,
         curation,

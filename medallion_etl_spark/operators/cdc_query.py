@@ -42,6 +42,20 @@ def _as_change_stream(ev: DataFrame) -> DataFrame:
     )
 
 
+def _scratch_dir(prefix: str, sf: str) -> str:
+    """Per-(input, PROCESS) scratch root for a query-built LakeTable.
+
+    The pid component matters: these dirs used to be keyed on the
+    input path alone, so two concurrent driver-contract processes
+    (e.g. the round driver and a local pytest run) would rmtree/
+    rebuild the SAME directory under each other's lazy reads —
+    observed as PATH_NOT_FOUND mid-query. Within one process the
+    _*_ROOTS caches (not the dir name) provide reuse, so pid
+    uniqueness costs nothing."""
+    digest = hashlib.md5(sf.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{digest}_p{os.getpid()}")
+
+
 def _replay_flagship(
     spark: SparkSession,
     sf: str,
@@ -61,10 +75,7 @@ def _replay_flagship(
     stream = _as_change_stream(events)
     n = events.agg(F.max("event_id")).collect()[0][0] or 0
     chunk = max(int(n) // 4, 1)
-    tmp = os.path.join(
-        tempfile.gettempdir(),
-        f"{tmp_prefix}_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
-    )
+    tmp = _scratch_dir(tmp_prefix, sf)
     shutil.rmtree(tmp, ignore_errors=True)
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     root = f"{tmp}/t"
@@ -116,10 +127,7 @@ def _feed_table_root(spark: SparkSession, sf: str) -> str:
     stream = _as_change_stream(events)
     n = events.agg(F.max("event_id")).collect()[0][0] or 0
     chunk = max(int(n) // 2, 1)
-    tmp = os.path.join(
-        tempfile.gettempdir(),
-        f"cdc_feed_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
-    )
+    tmp = _scratch_dir("cdc_feed", sf)
     shutil.rmtree(tmp, ignore_errors=True)
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     root = f"{tmp}/t"
@@ -240,10 +248,7 @@ def cdc_dml_state(spark: SparkSession, sf: str) -> DataFrame:
         events = T(spark, sf, "events")
         stream = _as_change_stream(events)
         n = events.agg(F.max("event_id")).collect()[0][0] or 0
-        tmp = os.path.join(
-            tempfile.gettempdir(),
-            f"cdc_dml_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
-        )
+        tmp = _scratch_dir("cdc_dml", sf)
         shutil.rmtree(tmp, ignore_errors=True)
         atexit.register(shutil.rmtree, tmp, ignore_errors=True)
         root = f"{tmp}/t"
@@ -305,10 +310,7 @@ def cdc_restore_reconverge(spark: SparkSession, sf: str) -> DataFrame:
         events = T(spark, sf, "events")
         stream = _as_change_stream(events)
         n = events.agg(F.max("event_id")).collect()[0][0] or 0
-        tmp = os.path.join(
-            tempfile.gettempdir(),
-            f"cdc_restore_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
-        )
+        tmp = _scratch_dir("cdc_restore", sf)
         shutil.rmtree(tmp, ignore_errors=True)
         atexit.register(shutil.rmtree, tmp, ignore_errors=True)
         root = f"{tmp}/t"
@@ -354,10 +356,7 @@ def cdc_convert_documents(spark: SparkSession, sf: str) -> DataFrame:
             "source",
             "lang",
         )
-        tmp = os.path.join(
-            tempfile.gettempdir(),
-            f"cdc_convert_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
-        )
+        tmp = _scratch_dir("cdc_convert", sf)
         shutil.rmtree(tmp, ignore_errors=True)
         atexit.register(shutil.rmtree, tmp, ignore_errors=True)
         root = f"{tmp}/t"
@@ -406,10 +405,7 @@ def cdc_merge_into_state(spark: SparkSession, sf: str) -> DataFrame:
         events = T(spark, sf, "events")
         stream = _as_change_stream(events)
         n = events.agg(F.max("event_id")).collect()[0][0] or 0
-        tmp = os.path.join(
-            tempfile.gettempdir(),
-            f"cdc_merge_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
-        )
+        tmp = _scratch_dir("cdc_merge", sf)
         shutil.rmtree(tmp, ignore_errors=True)
         atexit.register(shutil.rmtree, tmp, ignore_errors=True)
         root = f"{tmp}/t"
@@ -516,10 +512,7 @@ def cdc_schema_evolution_state(spark: SparkSession, sf: str) -> DataFrame:
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     chunk = max(hi // 4, 1)
     split = lo + 3 * chunk  # DDL lands at the 3/4 chunk boundary
-    tmp = os.path.join(
-        tempfile.gettempdir(),
-        f"cdc_evolve_{hashlib.md5(sf.encode()).hexdigest()[:8]}",
-    )
+    tmp = _scratch_dir("cdc_evolve", sf)
     shutil.rmtree(tmp, ignore_errors=True)
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     root = f"{tmp}/t"

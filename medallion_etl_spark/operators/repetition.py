@@ -1,0 +1,155 @@
+"""Gopher-style intra-document repetition filters and corpus
+vocabulary extraction — the two remaining standard pre-training
+curation steps (Rae et al. 2021 "Scaling Language Models" repetition
+rules; word-count tables are step one of training any BPE/unigram
+vocab).
+
+Reference parity: the reference pipeline has no text-curation layer;
+these extend the training-data operator family (SURVEY.md §2 extras)
+alongside operators/textops.py and curation.py.
+
+Scale shape:
+
+- ``doc_repetition_stats`` is pure per-row expressions (split /
+  array_distinct / element_at inside whole-stage codegen) — scan
+  speed, zero shuffle except the oracle-stable orderBy. The top-word
+  fraction is O(V·n) per row (V = distinct words in the doc), the
+  right trade at corpus scale: no explode, no groupBy, the document
+  text never leaves its input split.
+- ``vocab_top_words`` explodes words (small tokens, never the full
+  text) into one hash aggregate with map-side partial aggregation,
+  then a global top-k that plans as TakeOrderedAndProject — at 100 TB
+  the shuffle carries only (word, partial-count) pairs, and the k-row
+  result is the only thing that reaches the driver.
+
+Cross-engine determinism: ratios rounded to 6 decimals; top-k ordering
+is total (count desc, word asc — word is unique after the group-by).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table as T
+from .util import spread
+
+# Gopher-rule thresholds (tuned for the synthetic corpus's tiny
+# vocabulary — real corpora use 0.2/0.2/0.3 per the paper; the
+# *contract* is the deterministic flag, not the constant).
+MAX_DUP_WORD_FRAC = 0.80
+MAX_DUP_2GRAM_FRAC = 0.55
+MAX_TOP_WORD_FRAC = 0.12
+
+TOP_K_WORDS = 50
+
+
+def doc_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spread(spark, T(spark, sf, "documents"))
+    words = F.split(F.lower("text"), " ")
+    n = F.size(words)
+
+    dup_word_frac = F.lit(1.0) - F.size(F.array_distinct(words)) / n
+
+    # word 2-grams via 1-based element_at over an index sequence
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )
+    dup_2gram_frac = F.when(
+        n >= 2, F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams)
+    ).otherwise(F.lit(0.0))
+
+    # fraction of tokens equal to the doc's most frequent token:
+    # count occurrences of each DISTINCT word, take the max
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    top_word_frac = top_count / n
+
+    keep = (
+        (dup_word_frac <= MAX_DUP_WORD_FRAC)
+        & (dup_2gram_frac <= MAX_DUP_2GRAM_FRAC)
+        & (top_word_frac <= MAX_TOP_WORD_FRAC)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(dup_word_frac, 6).alias("dup_word_frac"),
+        F.round(dup_2gram_frac, 6).alias("dup_2gram_frac"),
+        F.round(top_word_frac, 6).alias("top_word_frac"),
+        keep.cast("boolean").alias("keep"),
+    ).orderBy("doc_id")
+
+
+DOC_REPETITION_STATS_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+), g AS (
+  SELECT doc_id, words, len(words) AS n,
+         CASE WHEN len(words) >= 2
+              THEN list_transform(range(1, len(words)),
+                                  i -> words[i] || ' ' || words[i+1])
+              ELSE [] END AS grams
+  FROM feats
+), r AS (
+  SELECT doc_id, n,
+         1.0 - len(list_distinct(words)) / n AS dup_word_frac,
+         CASE WHEN n >= 2
+              THEN 1.0 - len(list_distinct(grams)) / len(grams)
+              ELSE 0.0 END AS dup_2gram_frac,
+         list_max(list_transform(list_distinct(words),
+                                 w -> len(list_filter(words, x -> x = w)))) / n
+           AS top_word_frac
+  FROM g
+)
+SELECT doc_id, n AS n_words,
+       round(dup_word_frac, 6) AS dup_word_frac,
+       round(dup_2gram_frac, 6) AS dup_2gram_frac,
+       round(top_word_frac, 6) AS top_word_frac,
+       (dup_word_frac <= {MAX_DUP_WORD_FRAC}
+        AND dup_2gram_frac <= {MAX_DUP_2GRAM_FRAC}
+        AND top_word_frac <= {MAX_TOP_WORD_FRAC}) AS keep
+FROM r
+ORDER BY doc_id
+"""
+
+
+def vocab_top_words(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spread(spark, T(spark, sf, "documents"))
+    words = F.explode(F.split(F.lower("text"), " ")).alias("word")
+    return (
+        docs.select("doc_id", words)
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("word"))
+        .limit(TOP_K_WORDS)
+    )
+
+
+VOCAB_TOP_WORDS_SQL = f"""
+SELECT word,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+)
+WHERE length(word) > 0
+GROUP BY word
+ORDER BY n_occurrences DESC, word ASC
+LIMIT {TOP_K_WORDS}
+"""
+
+
+QUERIES = {
+    "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_STATS_SQL),
+    "vocab_top_words": (vocab_top_words, VOCAB_TOP_WORDS_SQL),
+}

@@ -135,3 +135,27 @@ def test_ngram_jaccard_reuses_persisted_shingles(spark, sf_small):
         assert len(df.collect()) > 0
     finally:
         spark.catalog.clearCache()
+
+
+def test_repetition_stats_pure_expression_scan(spark, sf_small):
+    """The Gopher-rule fractions are per-row expressions: no Python
+    eval node, no join, no aggregate — the only exchange allowed is
+    the oracle-stable orderBy (plus the small-input spread())."""
+    from medallion_etl_spark.operators.repetition import doc_repetition_stats
+
+    p = plan(doc_repetition_stats(spark, sf_small))
+    assert "EvalPython" not in p
+    assert "Join" not in p
+    assert "HashAggregate" not in p and "SortAggregate" not in p
+
+
+def test_vocab_topk_partial_agg_and_top_heap(spark, sf_small):
+    """Corpus vocabulary: the word counts must partial-aggregate
+    map-side (shuffle carries (word, count), never the text) and the
+    global top-k must plan as TakeOrderedAndProject, not a full sort."""
+    from medallion_etl_spark.operators.repetition import vocab_top_words
+
+    p = plan(vocab_top_words(spark, sf_small))
+    assert "partial_count" in p
+    assert "TakeOrderedAndProject" in p
+    assert "GlobalSort" not in p and ", Sort [" not in p

@@ -1,0 +1,67 @@
+"""Hand-computed fixtures for the Gopher-style repetition stats and
+the corpus vocabulary top-k (operators/repetition.py). The sf0.01
+oracle parity is covered by test_oracle_parity; this pins the exact
+fraction semantics on documents small enough to verify by eye."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from medallion_etl_spark.operators.repetition import (
+    doc_repetition_stats,
+    vocab_top_words,
+)
+
+DOCS = [
+    # (doc_id, text): words / 2-grams / top-word fractions worked out below
+    (1, "a a b a"),  # n=4, 2 distinct -> dup_word .5; grams {a a, a b, b a} -> dup 0; top a=3/4
+    (2, " ".join(f"w{i}" for i in range(20))),  # all distinct: 0 / 0 / 1/20
+    (3, "x y x y x y"),  # n=6, 2 distinct -> dup 4/6; grams 5, 2 distinct -> dup 3/5; top 3/6
+]
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory) -> str:
+    root = str(tmp_path_factory.mktemp("repdocs"))
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(os.path.join(root, "documents.parquet"))
+    return root
+
+
+def test_repetition_fractions(spark, docs_dir):
+    rows = {r["doc_id"]: r for r in doc_repetition_stats(spark, docs_dir).collect()}
+    r1, r2, r3 = rows[1], rows[2], rows[3]
+
+    assert r1["n_words"] == 4
+    assert r1["dup_word_frac"] == 0.5
+    assert r1["dup_2gram_frac"] == 0.0
+    assert r1["top_word_frac"] == 0.75
+    assert not r1["keep"]  # top-word fraction over threshold
+
+    assert r2["dup_word_frac"] == 0.0
+    assert r2["dup_2gram_frac"] == 0.0
+    assert r2["top_word_frac"] == 0.05
+    assert r2["keep"]
+
+    assert r3["dup_word_frac"] == round(4 / 6, 6)
+    assert r3["dup_2gram_frac"] == round(3 / 5, 6)
+    assert r3["top_word_frac"] == 0.5
+    assert not r3["keep"]
+
+
+def test_vocab_counts_and_order(spark, docs_dir):
+    got = vocab_top_words(spark, docs_dir).collect()
+    # occurrences: a=3, x=3, y=3, b=1, w0..w19=1 each
+    by_word = {r["word"]: (r["n_occurrences"], r["n_docs"]) for r in got}
+    assert by_word["a"] == (3, 1)
+    assert by_word["x"] == (3, 1)
+    assert by_word["b"] == (1, 1)
+    # total order: count desc then word asc
+    keys = [(-r["n_occurrences"], r["word"]) for r in got]
+    assert keys == sorted(keys)
+    assert [r["word"] for r in got[:3]] == ["a", "x", "y"]
