@@ -196,8 +196,16 @@ class LakeTable:
         key_col: str = "doc_id",
         bloom_key_filter: bool = False,
         constraints: dict[str, str] | None = None,
+        schemas: dict[int, T.StructType] | None = None,
     ) -> "LakeTable":
-        """``bloom_key_filter=True`` writes a parquet bloom filter on
+        """``schemas=`` overrides the bootstrap schema map (default:
+        the token-sequence ``DOCS_SCHEMAS``), making the format usable
+        for ANY keyed table — e.g. a derived signature store
+        (operators/dedup_incremental.py). The map lands in table
+        metadata exactly like the default; every later surface
+        (merge, evolution DDL, feeds, restore) reads it from there.
+
+        ``bloom_key_filter=True`` writes a parquet bloom filter on
         the key column in every bucket file (merge, compact, rebucket
         — all writers consult table metadata). Point lookups between
         compactions hit arrival-ordered buckets where min/max stats
@@ -205,6 +213,17 @@ class LakeTable:
         misses. Opt-in: it costs write-side CPU and ~1 MB/row-group,
         worth it for lookup-heavy tables only (the Delta bloom-filter
         index analog, recorded in table metadata the same way)."""
+        reg = schemas if schemas is not None else DOCS_SCHEMAS
+        if schema_version not in reg:
+            raise ValueError(
+                f"schema_version {schema_version} not in the bootstrap "
+                f"schema map (declared: {sorted(reg)})"
+            )
+        for v, s in reg.items():
+            if key_col not in {f.name for f in s.fields}:
+                raise ValueError(
+                    f"key column {key_col!r} missing from schema version {v}"
+                )
         os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         meta = {
@@ -216,7 +235,7 @@ class LakeTable:
             # version, appended to by add_column()/widen_column() so
             # arbitrary DDL works without a code release. The code
             # registry DOCS_SCHEMAS is only this bootstrap default.
-            "schemas": {str(v): s.jsonValue() for v, s in DOCS_SCHEMAS.items()},
+            "schemas": {str(v): s.jsonValue() for v, s in reg.items()},
             "n_buckets": n_buckets,
             "key_col": key_col,
             "bloom_key_filter": bool(bloom_key_filter),

@@ -20,6 +20,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         coverage,
         curation,
         dedup_cluster,
+        dedup_incremental,
         dedup_text,
         incremental,
         medallion,
@@ -44,6 +45,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         repetition,
         dedup_text,
         dedup_cluster,
+        dedup_incremental,
         curation,
         similarity,
         sketch,

@@ -1,0 +1,233 @@
+"""Incremental near-dup maintenance over the CDC change feed.
+
+At 10^10-document scale you never re-MinHash the corpus per ingest
+cycle: the standing MinHash signatures live in their OWN lake table
+(one row per doc), and each refresh consumes the corpus table's change
+feed — O(|changed docs|), a metadata bucket-diff plus the changed
+rows — recomputes signatures for exactly those docs, and MERGEs them
+through the normal exactly-once apply path (deletes become signature
+tombstones). New near-dup candidates then come from probing the
+changed docs' LSH band buckets against the standing signature table —
+never an all-pairs or full-corpus rescan.
+
+This composes three things the engine already guarantees:
+- ``read_changes``: NET per-key changes, changed-bucket pruning,
+  retention/restore gates (cdc/table.py);
+- ``apply_batch``: idempotent LWW merge, so a re-delivered refresh is
+  a no-op and an out-of-order pair of refreshes converges;
+- ``band_buckets`` (dedup_text.py): the SAME banding expression the
+  batch near-dup job uses, so incremental and batch can never band
+  differently.
+
+Refresh batch ids are the CORPUS version the refresh advances the
+signature table to. They live in the signature table's own manifest —
+no collision with the corpus's replay-chunk / range-refresh /
+streaming-epoch namespaces — and a re-run of the same span is skipped
+by the manifest while a DIFFERENT span presenting the same target
+version fails loudly (apply.py's range guard).
+
+Scale shape: signature recompute is per-row expressions over the feed
+(no shuffle beyond the merge's own); the candidate probe explodes
+bands of the (small) changed set, broadcasts it, and equi-joins
+against the standing table's bands — shuffle-free on the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..cdc.apply import apply_batch
+from ..cdc.table import LakeTable
+from .dedup_text import N_HASHES, _minhash_sig, _shingles, band_buckets
+
+SIG_SCHEMA_V1 = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("mh", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+SIG_SCHEMAS = {1: SIG_SCHEMA_V1}
+
+
+def token_minhash(tokens: F.Column) -> F.Column:
+    """MinHash signature (N_HASHES md5 strings) of a token array:
+    tokens render to strings, 3-gram shingles, min-md5 per hash —
+    the token-side twin of the text pipeline in dedup_text.py."""
+    words = F.transform(tokens, lambda t: t.cast("string"))
+    return _minhash_sig(_shingles(words))
+
+
+def create_signature_table(root: str, *, n_buckets: int = 16) -> LakeTable:
+    return LakeTable.create(
+        root, n_buckets=n_buckets, schema_version=1, schemas=SIG_SCHEMAS
+    )
+
+
+def refresh_signatures(
+    spark: SparkSession,
+    corpus: LakeTable,
+    sig: LakeTable,
+    since_version: int,
+    **apply_kw,
+) -> dict:
+    """Advance ``sig`` with the corpus changes in
+    ``(since_version, corpus.version]``. Returns the apply stats.
+
+    The LSN span is taken from the two snapshots' commit watermarks
+    (metadata only); the feed itself provides one NET event per
+    changed key. Upserts carry the recomputed signature, deletes
+    tombstone it — both ride the ordinary merge, so refreshes are
+    idempotent and order-independent like any other batch."""
+    if since_version >= corpus.version:
+        return {"skipped_empty": True, "batch_id": None, "rows_applied": 0}
+    changes = corpus.read_changes(spark, since_version)
+    is_del = F.col("_change_type") == "delete"
+    events = changes.select(
+        F.col("_lsn").alias("lsn"),
+        F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "doc_id",
+        F.when(is_del, F.lit(None)).otherwise(token_minhash(F.col("tokens"))).alias("mh"),
+        F.lit(1).alias("schema_version"),
+    )
+    old_wm = LakeTable.load_version(corpus.root, since_version).max_committed_lsn()
+    new_wm = corpus.max_committed_lsn()
+    return apply_batch(
+        spark,
+        sig,
+        events,
+        batch_id=corpus.version,
+        lsn_lo=old_wm + 1,
+        lsn_hi=new_wm,
+        skip_empty_commit=True,
+        **apply_kw,
+    )
+
+
+def incremental_candidates(
+    spark: SparkSession, sig: LakeTable, changed_keys: DataFrame
+) -> DataFrame:
+    """Near-dup candidates FOR the changed docs: (doc_id, candidate_id,
+    n_shared_bands, est_jaccard) where doc_id ∈ changed_keys — every
+    standing doc sharing at least one LSH band bucket with a changed
+    doc's fresh signature. Directional on purpose: maintenance asks
+    "who does this updated doc now collide with", and a changed-changed
+    pair simply appears once per direction.
+
+    The changed side is broadcast (it is one ingest cycle's docs); the
+    standing side's band explode is map-only, so the probe never
+    shuffles the signature table."""
+    state = sig.read(spark)
+    bands = state.select(
+        "doc_id", "mh", F.explode(band_buckets(F.col("mh"))).alias("bk")
+    ).select(
+        "doc_id", "mh", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+    ch = bands.join(
+        F.broadcast(changed_keys.select("doc_id").distinct()), "doc_id", "semi"
+    ).select(
+        F.col("doc_id").alias("_cid"),
+        F.col("mh").alias("_cmh"),
+        "band",
+        "bucket",
+    )
+    standing = bands.select(
+        F.col("doc_id").alias("_oid"), F.col("mh").alias("_omh"), "band", "bucket"
+    )
+    hits = standing.join(F.broadcast(ch), ["band", "bucket"]).filter(
+        F.col("_oid") != F.col("_cid")
+    )
+    return (
+        hits.groupBy(F.col("_cid").alias("doc_id"), F.col("_oid").alias("candidate_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_bands"),
+            F.first("_cmh").alias("_a"),
+            F.first("_omh").alias("_b"),
+        )
+        .select(
+            "doc_id",
+            "candidate_id",
+            "n_shared_bands",
+            F.round(
+                F.size(
+                    F.filter(F.zip_with("_a", "_b", lambda x, y: x == y), lambda v: v)
+                )
+                / F.lit(float(N_HASHES)),
+                6,
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Driver-contract query: replay the events change stream into a corpus
+# table in two resumable spans, maintain the signature table from the
+# change feed after EACH span (bootstrap + incremental refresh), and
+# return the final signatures. The DuckDB oracle computes the same
+# minhash directly over the stream's LWW final state, so the gate
+# checks feed -> per-changed-doc recompute -> exactly-once merge ->
+# tombstone propagation end-to-end.
+
+_SIG_ROOTS: dict[str, str] = {}
+
+
+def cdc_incremental_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from ..cdc.replay import replay
+    from ..sources.readers import load_table as T
+    from .cdc_query import _as_change_stream, _scratch_dir
+
+    cached = _SIG_ROOTS.get(sf)
+    if cached is None or not LakeTable.exists(cached):
+        events = T(spark, sf, "events")
+        stream = _as_change_stream(events)
+        n = events.agg(F.max("event_id")).collect()[0][0] or 0
+        tmp = _scratch_dir("cdc_sig", sf)
+        shutil.rmtree(tmp, ignore_errors=True)
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        corpus = LakeTable.create(f"{tmp}/corpus", n_buckets=8, schema_version=2)
+        sig = create_signature_table(f"{tmp}/sig", n_buckets=8)
+        chunk = max(int(n) // 2, 1)
+        replay(spark, stream, corpus, chunk_size=chunk, max_batches=1)
+        corpus = LakeTable.load(f"{tmp}/corpus")
+        v_mid = corpus.version
+        refresh_signatures(spark, corpus, sig, since_version=0)
+        replay(spark, stream, corpus, chunk_size=chunk)  # resume the tail
+        corpus = LakeTable.load(f"{tmp}/corpus")
+        refresh_signatures(spark, corpus, LakeTable.load(f"{tmp}/sig"), since_version=v_mid)
+        _SIG_ROOTS[sf] = f"{tmp}/sig"
+    final = LakeTable.load(_SIG_ROOTS[sf]).read(spark)
+    return final.select(
+        "doc_id",
+        *[F.element_at("mh", i + 1).alias(f"mh_{i}") for i in range(N_HASHES)],
+    ).orderBy("doc_id")
+
+
+_TOK_STR = (
+    "concat_ws(' ', CAST(FLOOR(value * 100) AS INT), "
+    "CAST(user_id AS INT), CAST(event_id AS INT))"
+)
+_MH_COLS = ",\n       ".join(
+    f"md5(concat('{i}|', md5({_TOK_STR}))) AS mh_{i}" for i in range(N_HASHES)
+)
+
+CDC_INCREMENTAL_SIGNATURES_SQL = f"""
+SELECT concat('u', user_id) AS doc_id,
+       {_MH_COLS}
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+  AND event_type <> 'error'
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "cdc_incremental_signatures": (
+        cdc_incremental_signatures,
+        CDC_INCREMENTAL_SIGNATURES_SQL,
+    ),
+}

@@ -179,6 +179,35 @@ def _minhash_sig(shingles: F.Column) -> F.Column:
     return F.array(*[mh(i) for i in range(N_HASHES)])
 
 
+def band_buckets(mh: F.Column) -> F.Column:
+    """LSH band keys of a minhash signature: array<struct<band int,
+    bucket string>> — N_BANDS bands of N_HASHES/N_BANDS signature rows,
+    bucket = md5 of the band's rows. Shared by the batch candidate
+    join below and the incremental maintenance in
+    dedup_incremental.py, so the two can never band differently."""
+    rows_per_band = N_HASHES // N_BANDS
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.encode(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at(mh, b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        ),
+                        "UTF-8",
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+
+
 def _minhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) from LSH band buckets,
     with the signature-agreement estimate — shared by the pair report
@@ -190,26 +219,8 @@ def _minhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
     # tiny (one row per doc); at 100 TB this is a materialized
     # signature table, the standard shape for LSH pipelines.
     sig = docs.select("doc_id", _minhash_sig(_shingles(_words())).alias("mh")).persist()
-    rows_per_band = N_HASHES // N_BANDS
     bands = sig.select(
-        "doc_id",
-        "mh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.encode(
-                                F.concat_ws("|", *[F.element_at("mh", b * rows_per_band + r + 1) for r in range(rows_per_band)]),
-                                "UTF-8",
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        "doc_id", "mh", F.explode(band_buckets(F.col("mh"))).alias("bk")
     ).select("doc_id", "mh", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
