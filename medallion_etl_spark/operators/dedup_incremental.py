@@ -231,3 +231,80 @@ QUERIES = {
         CDC_INCREMENTAL_SIGNATURES_SQL,
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# Continuous variant: the signature table maintained by a Structured
+# Streaming query over the corpus's `lake_feed` change-feed source —
+# the Delta-Live-Tables-style "derived table that follows the base
+# table" shape. Exactly-once is the same composition stream_replay.py
+# documents: the checkpoint re-delivers identical epochs, the manifest
+# makes each epoch idempotent, and epoch batch-ids live in the
+# per-checkpoint streaming namespace so they can never collide with
+# the batch refreshes' corpus-version ids.
+
+
+def stream_refresh_signatures(
+    spark: SparkSession,
+    corpus_root: str,
+    sig_root: str,
+    checkpoint_dir: str,
+    *,
+    start_version: int = 0,
+    max_versions_per_trigger: int | None = None,
+    timeout_sec: float = 120.0,
+) -> dict:
+    """Drain the corpus change feed into the signature table (one
+    availableNow pass; rerun to follow new commits). Returns totals."""
+    from ..streaming.feed_source import read_feed_stream
+    from ..streaming.stream_replay import stream_batch_id
+
+    totals = {"epochs": 0, "rows_applied": 0}
+
+    def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        bounds = batch_df.agg(
+            F.min("_lsn").alias("lo"), F.max("_lsn").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return
+        sig = LakeTable.load(sig_root)  # fresh handle per epoch
+        is_del = F.col("_change_type") == "delete"
+        events = batch_df.select(
+            F.col("_lsn").alias("lsn"),
+            F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            "doc_id",
+            F.when(is_del, F.lit(None))
+            .otherwise(token_minhash(F.col("tokens")))
+            .alias("mh"),
+            F.lit(1).alias("schema_version"),
+        )
+        out = apply_batch(
+            spark,
+            sig,
+            events,
+            batch_id=stream_batch_id(checkpoint_dir, epoch_id),
+            lsn_lo=int(bounds["lo"]),
+            lsn_hi=int(bounds["hi"]),
+            skip_empty_commit=True,
+        )
+        if not out.get("skipped"):
+            totals["epochs"] += 1
+            totals["rows_applied"] += int(out.get("rows_applied", 0))
+
+    feed = read_feed_stream(
+        spark,
+        corpus_root,
+        start_version=start_version,
+        max_versions_per_trigger=max_versions_per_trigger,
+    )
+    q = (
+        feed.writeStream.foreachBatch(apply_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"signature feed drain exceeded {timeout_sec}s")
+    return totals

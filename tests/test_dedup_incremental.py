@@ -154,3 +154,30 @@ def test_custom_schema_bootstrap_validation(tmp_path):
             schema_version=1,
             schemas={1: T.StructType([T.StructField("other", T.StringType())])},
         )
+
+
+def test_streaming_refresh_follows_the_corpus(spark, built, tmp_path):
+    """A lake_feed-driven streaming drain maintains the SAME state the
+    batch refreshes produced: bootstrap a second signature table purely
+    from the stream, compare, then verify a re-drain is a no-op
+    (checkpoint + manifest exactly-once)."""
+    from medallion_etl_spark.operators.dedup_incremental import (
+        stream_refresh_signatures,
+    )
+
+    corpus = built["corpus"]
+    sroot = str(tmp_path / "sig_stream")
+    ckpt = str(tmp_path / "ckpt")
+    create_signature_table(sroot, n_buckets=8)
+    # availableNow + a version cap drains ONE bounded batch per run
+    # (feed_source.py docstring), so the full bootstrap drain runs
+    # uncapped; backpressure pacing itself is test_feed_backpressure's
+    # job.
+    totals = stream_refresh_signatures(spark, corpus.root, sroot, ckpt)
+    assert totals["epochs"] >= 1
+    got = _sig_state(spark, LakeTable.load(sroot))
+    assert got == _sig_state(spark, built["sig"])
+    # second drain from the same checkpoint: nothing new
+    v = LakeTable.load(sroot).version
+    stream_refresh_signatures(spark, corpus.root, sroot, ckpt)
+    assert LakeTable.load(sroot).version == v
