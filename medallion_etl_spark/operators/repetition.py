@@ -153,3 +153,64 @@ QUERIES = {
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_STATS_SQL),
     "vocab_top_words": (vocab_top_words, VOCAB_TOP_WORDS_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash-vocab tokenizer: documents.text -> the engine's
+# token-sequence shape (doc_id, tokens array<int>, n_tok) from
+# BASELINE.json's input_hint. Real pipelines plug a learned BPE here
+# (as an Arrow-batched mapInPandas, operators/multimodal.py shows the
+# plumbing); the hash vocab keeps the operator pure-JVM and
+# cross-engine checkable: token id = ascii arithmetic over the word's
+# md5 hex (the exact trick training_mix_sample uses for its keep
+# bucket), so Spark and DuckDB produce bit-identical ids.
+#
+# Scale shape: per-row expressions only — tokenization runs at scan
+# speed inside whole-stage codegen, no shuffle, no Python. At 100 TB
+# the cost is the read itself, which is the property that matters:
+# tokenization is the widest fan-in stage of a training-data build.
+
+VOCAB_SIZE = 32768
+
+
+def _token_id(w: F.Column) -> F.Column:
+    h = F.md5(F.encode(w, "UTF-8"))
+    return (
+        (
+            (F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))) * 31
+            + F.ascii(F.substring(h, 3, 1))
+        )
+        % VOCAB_SIZE
+    ).cast("int")
+
+
+def tokenize_documents(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spread(spark, T(spark, sf, "documents"))
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: F.length(w) > 0)
+    tokens = F.transform(words, _token_id)
+    return docs.select(
+        "doc_id",
+        tokens.alias("tokens"),
+        F.size(tokens).cast("int").alias("n_tok"),
+        "source",
+    ).orderBy("doc_id")
+
+
+_TOKEN_ID_SQL = (
+    "CAST(((ascii(substring(md5(w), 1, 1)) * 31 + ascii(substring(md5(w), 2, 1))) * 31"
+    f" + ascii(substring(md5(w), 3, 1))) % {VOCAB_SIZE} AS INT)"
+)
+
+TOKENIZE_DOCUMENTS_SQL = f"""
+SELECT doc_id,
+       list_transform(list_filter(string_split(lower(text), ' '),
+                                  w -> length(w) > 0),
+                      w -> {_TOKEN_ID_SQL}) AS tokens,
+       CAST(len(list_filter(string_split(lower(text), ' '),
+                            w -> length(w) > 0)) AS INT) AS n_tok,
+       source
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["tokenize_documents"] = (tokenize_documents, TOKENIZE_DOCUMENTS_SQL)
