@@ -229,6 +229,40 @@ def cmd_clone(spark, args) -> dict:
     return {"cloned_to": clone.root, "source_version": clone.meta["cloned_from"]["version"]}
 
 
+def cmd_refresh_signatures(spark, args) -> dict:
+    """Maintain the derived MinHash signature table from the main
+    table's change feed (operators/dedup_incremental.py): bootstrap it
+    on first run, then advance it by exactly the versions committed
+    since the recorded cursor. The cursor is the signature table's own
+    LAST refresh batch-id (= the corpus version it reflects), so the
+    command is safely re-runnable from cron like every other layer."""
+    from medallion_etl_spark.cdc.table import LakeTable
+    from medallion_etl_spark.operators.dedup_incremental import (
+        create_signature_table,
+        refresh_signatures,
+    )
+
+    corpus = LakeTable.load(_table_root(args.out))
+    if LakeTable.exists(args.sig_root):
+        sig = LakeTable.load(args.sig_root)
+        # batch refreshes commit under the corpus version (small ints);
+        # a concurrent stream_refresh_signatures drain commits in the
+        # 2^40+ streaming-epoch namespace — not a version cursor
+        done = [b for b in sig.committed_batches() if b < (1 << 39)]
+        since = max(done) if done else 0
+    else:
+        sig = create_signature_table(args.sig_root, n_buckets=corpus.n_buckets)
+        since = 0
+    out = refresh_signatures(spark, corpus, sig, since_version=int(since))
+    return {
+        "sig_root": args.sig_root,
+        "since_version": int(since),
+        "to_version": corpus.version,
+        "rows_applied": int(out.get("rows_applied", 0)),
+        "skipped": bool(out.get("skipped") or out.get("skipped_empty")),
+    }
+
+
 def cmd_restore(spark, args) -> dict:
     from medallion_etl_spark.cdc.table import LakeTable
 
@@ -390,6 +424,12 @@ def main() -> None:
     p.add_argument("--schema-version", default="1")
     p = sub.add_parser("clone")
     p.add_argument("--dst", required=True, help="root for the zero-copy shallow clone")
+    p = sub.add_parser("refresh-signatures")
+    p.add_argument(
+        "--sig-root",
+        required=True,
+        help="root of the derived signature LakeTable (created on first run)",
+    )
     p = sub.add_parser("restore")
     p.add_argument("version", help="older snapshot version to roll the table back to")
     p = sub.add_parser("merge")
@@ -438,6 +478,7 @@ def main() -> None:
         "update-where": cmd_update_where,
         "convert": cmd_convert,
         "clone": cmd_clone,
+        "refresh-signatures": cmd_refresh_signatures,
         "restore": cmd_restore,
         "merge": cmd_merge,
         "add-constraint": cmd_add_constraint,

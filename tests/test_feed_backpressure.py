@@ -48,6 +48,15 @@ def _drain_counted(spark, root, ckpt, limit, stop_after=None, timeout=120):
     done = threading.Event()
 
     def sink(df, _bid):
+        # refuse batches past the quota BEFORE touching them: under a
+        # loaded box the 250ms trigger can start another micro-batch
+        # between done.set() and q.stop(), and a graceful stop would
+        # let it both commit and be counted — raising keeps the extra
+        # batch uncommitted (a crash-stop), so the later resume drain
+        # re-delivers exactly the remaining spans.
+        if stop_after is not None and len(batches) >= stop_after:
+            done.set()
+            raise RuntimeError("stop quota reached")
         rows = df.collect()
         if rows:
             batches.append(rows)
@@ -81,8 +90,13 @@ def _drain_counted(spark, root, ckpt, limit, stop_after=None, timeout=120):
                     break
             time.sleep(0.3)
     finally:
-        q.stop()
-        q.awaitTermination(30)
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        try:
+            q.stop()
+            q.awaitTermination(30)
+        except StreamingQueryException:
+            pass  # the sink's deliberate stop-quota crash
     return batches
 
 

@@ -232,3 +232,36 @@ def test_ddl_add_and_widen_column_via_cli(spark, tmp_path, sf_tiny):
 
     res = cmd_expire(spark, _args(tmp_path, sf_tiny, keep_last="1", force=False))
     assert res["expired_versions"] and res["retained_versions"]
+
+
+def test_refresh_signatures_cursor_and_rerun(spark, tmp_path, sf_tiny):
+    """refresh-signatures bootstraps the derived table on first run,
+    records its cursor as the refresh batch-id, advances by exactly
+    the new versions on later runs, and a no-change re-run is a
+    skip."""
+    from medallion_etl_spark.cdc.table import LakeTable
+    from medallion_etl_spark.operators.dedup_incremental import token_minhash
+    from pyspark.sql import functions as F
+    from scripts.orchestrator import cmd_refresh_signatures
+
+    cmd_bronze(spark, _args(tmp_path, sf_tiny))
+    sroot = str(tmp_path / "sig_table")
+    res = cmd_refresh_signatures(spark, _args(tmp_path, sf_tiny, sig_root=sroot))
+    assert not res["skipped"] and res["rows_applied"] > 0
+
+    corpus = LakeTable.load(str(tmp_path / "docs_table"))
+    exp = {
+        r["doc_id"]: tuple(r["mh"])
+        for r in corpus.read(spark)
+        .select("doc_id", token_minhash(F.col("tokens")).alias("mh"))
+        .collect()
+    }
+    got = {
+        r["doc_id"]: tuple(r["mh"])
+        for r in LakeTable.load(sroot).read(spark).collect()
+    }
+    assert got == exp
+
+    # nothing new committed -> skip, cursor unchanged
+    res2 = cmd_refresh_signatures(spark, _args(tmp_path, sf_tiny, sig_root=sroot))
+    assert res2["skipped"] and res2["since_version"] == res["to_version"]
