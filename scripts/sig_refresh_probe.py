@@ -17,7 +17,7 @@ the point: at 10^10 docs a daily 0.1% churn cycle pays ~0.1% of the
 full-build cost (plus fixed job overhead, which dominates at this
 sandbox scale and makes the measured ratio CONSERVATIVE).
 
-Usage: python scripts/sig_refresh_probe.py [parallelism] [n_events] [tail_pct]
+Usage: python scripts/sig_refresh_probe.py [parallelism] [n_events] [tail_pct] [write_mode]
 Prints one JSON line; writes BENCH/incremental_sig.json.
 """
 
@@ -39,6 +39,7 @@ def main() -> None:
     p = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
     tail_pct = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
+    write_mode = sys.argv[4] if len(sys.argv) > 4 else "cow"
 
     from bench import _bench_conf
     from pyspark.sql import functions as F
@@ -78,7 +79,9 @@ def main() -> None:
         corpus = LakeTable.load(corpus.root)
         sig = LakeTable.load(sig.root)
         t0 = time.perf_counter()
-        out_inc = refresh_signatures(spark, corpus, sig, since_version=v_boot)
+        out_inc = refresh_signatures(
+            spark, corpus, sig, since_version=v_boot, write_mode=write_mode
+        )
         wall_inc = time.perf_counter() - t0
 
         sig = LakeTable.load(sig.root)
@@ -89,6 +92,7 @@ def main() -> None:
             "bootstrap_events": n,
             "tail_events": n_tail,
             "tail_pct": tail_pct,
+            "incremental_write_mode": write_mode,
             "corpus_docs": int(sig.detail()["stored_rows"] or 0),
             "bootstrap_rows_applied": int(out_full.get("rows_applied", 0)),
             "incremental_rows_applied": int(out_inc.get("rows_applied", 0)),
