@@ -61,10 +61,6 @@ INTERNAL_FIELDS = [
 INTERNAL_COLS = [f.name for f in INTERNAL_FIELDS]
 
 
-def stored_schema(schema_version: int) -> T.StructType:
-    return T.StructType(list(DOCS_SCHEMAS[schema_version].fields) + INTERNAL_FIELDS)
-
-
 def count_dir_rows(abs_dir: str) -> int:
     """Row count of a bucket dir from parquet footers (driver-side,
     no Spark job — footers only)."""

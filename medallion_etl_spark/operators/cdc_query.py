@@ -51,9 +51,32 @@ def _scratch_dir(prefix: str, sf: str) -> str:
     rebuild the SAME directory under each other's lazy reads —
     observed as PATH_NOT_FOUND mid-query. Within one process the
     _*_ROOTS caches (not the dir name) provide reuse, so pid
-    uniqueness costs nothing."""
+    uniqueness costs nothing.
+
+    Dead siblings are swept on the way in: a SIGKILLed driver never
+    runs its atexit cleanup and no later process recomputes its
+    pid-suffixed name, so without the sweep every crash would leak a
+    multi-GB scratch table until reboot. A sibling whose pid is still
+    alive is left alone (it is a concurrent run's live scratch)."""
+    import glob
+    import re
+
     digest = hashlib.md5(sf.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"{prefix}_{digest}_p{os.getpid()}")
+    base = os.path.join(tempfile.gettempdir(), f"{prefix}_{digest}")
+    for stale in glob.glob(f"{base}_p*"):
+        m = re.fullmatch(r".*_p(\d+)", stale)
+        if m is None:
+            continue
+        pid = int(m.group(1))
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if no such process
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # pid exists under another uid: not ours, keep
+    return f"{base}_p{os.getpid()}"
 
 
 def _replay_flagship(

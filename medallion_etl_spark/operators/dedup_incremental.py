@@ -66,6 +66,44 @@ def create_signature_table(root: str, *, n_buckets: int = 16) -> LakeTable:
     )
 
 
+def bootstrap_signatures(
+    spark: SparkSession, corpus: LakeTable, sig: LakeTable, **apply_kw
+) -> dict:
+    """First fill of an EMPTY signature table from the corpus's
+    CURRENT snapshot — a raw read, not the change feed, so it works on
+    a mature corpus whose feed-from-v0 the retention/restore gates
+    rightly refuse (compaction purged old tombstones; a RESTORE broke
+    the LSN watermark). An empty derived table needs neither: there is
+    nothing to delete and nothing stale to supersede. Each row applies
+    at its own stored ``_lsn`` so later feed refreshes LWW-merge
+    correctly against it."""
+    if sig.committed_batches() or sig.version > 0:
+        raise ValueError(
+            "bootstrap_signatures requires an empty signature table; "
+            "use refresh_signatures to advance an existing one (or "
+            "recreate the table to rebuild after a corpus RESTORE)"
+        )
+    rows = corpus.read(spark, raw=True).filter(
+        ~F.coalesce(F.col("_deleted"), F.lit(False))
+    )
+    events = rows.select(
+        F.col("_lsn").alias("lsn"),
+        F.lit("U").alias("op"),
+        "doc_id",
+        token_minhash(F.col("tokens")).alias("mh"),
+        F.lit(1).alias("schema_version"),
+    )
+    return apply_batch(
+        spark,
+        sig,
+        events,
+        batch_id=corpus.version,
+        lsn_lo=0,
+        lsn_hi=corpus.max_committed_lsn(),
+        **apply_kw,
+    )
+
+
 def refresh_signatures(
     spark: SparkSession,
     corpus: LakeTable,
@@ -80,7 +118,13 @@ def refresh_signatures(
     (metadata only); the feed itself provides one NET event per
     changed key. Upserts carry the recomputed signature, deletes
     tombstone it — both ride the ordinary merge, so refreshes are
-    idempotent and order-independent like any other batch."""
+    idempotent and order-independent like any other batch.
+
+    A NET-EMPTY span still commits its (empty) batch: the committed
+    batch id IS the cursor the CLI reads back, and an un-advanced
+    cursor would re-diff the same span forever — and wedge outright
+    once a later compaction's tombstone purge passes the stale
+    cursor's watermark (read_changes's retention gate)."""
     if since_version >= corpus.version:
         return {"skipped_empty": True, "batch_id": None, "rows_applied": 0}
     changes = corpus.read_changes(spark, since_version)
@@ -101,41 +145,49 @@ def refresh_signatures(
         batch_id=corpus.version,
         lsn_lo=old_wm + 1,
         lsn_hi=new_wm,
-        skip_empty_commit=True,
         **apply_kw,
     )
 
 
 def incremental_candidates(
-    spark: SparkSession, sig: LakeTable, changed_keys: DataFrame
+    spark: SparkSession,
+    sig: LakeTable,
+    changed_keys: DataFrame | None = None,
+    *,
+    changed_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates FOR the changed docs: (doc_id, candidate_id,
-    n_shared_bands, est_jaccard) where doc_id ∈ changed_keys — every
+    n_shared_bands, est_jaccard) where doc_id ∈ changed — every
     standing doc sharing at least one LSH band bucket with a changed
     doc's fresh signature. Directional on purpose: maintenance asks
     "who does this updated doc now collide with", and a changed-changed
     pair simply appears once per direction.
 
-    The changed side is broadcast (it is one ingest cycle's docs); the
-    standing side's band explode is map-only, so the probe never
-    shuffles the signature table."""
+    Pass ``changed_sigs`` (doc_id, mh) when the caller already holds
+    the fresh signatures — the refresh that triggered the probe just
+    computed them — so the probe touches the signature table exactly
+    ONCE (the standing scan). With only ``changed_keys``, the changed
+    side is a key-semi-joined second read (filter pushed to the scan,
+    band-explode only after the filter). Either way the changed side
+    is broadcast and the standing side's band explode is map-only, so
+    the probe never shuffles the signature table."""
+    if (changed_keys is None) == (changed_sigs is None):
+        raise ValueError("pass exactly one of changed_keys / changed_sigs")
     state = sig.read(spark)
-    bands = state.select(
-        "doc_id", "mh", F.explode(band_buckets(F.col("mh"))).alias("bk")
-    ).select(
-        "doc_id", "mh", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
-    )
-    ch = bands.join(
-        F.broadcast(changed_keys.select("doc_id").distinct()), "doc_id", "semi"
-    ).select(
+    if changed_sigs is None:
+        changed_sigs = state.join(
+            F.broadcast(changed_keys.select("doc_id").distinct()), "doc_id", "semi"
+        )
+    ch = changed_sigs.select(
         F.col("doc_id").alias("_cid"),
         F.col("mh").alias("_cmh"),
-        "band",
-        "bucket",
-    )
-    standing = bands.select(
-        F.col("doc_id").alias("_oid"), F.col("mh").alias("_omh"), "band", "bucket"
-    )
+        F.explode(band_buckets(F.col("mh"))).alias("bk"),
+    ).select("_cid", "_cmh", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    standing = state.select(
+        F.col("doc_id").alias("_oid"),
+        F.col("mh").alias("_omh"),
+        F.explode(band_buckets(F.col("mh"))).alias("bk"),
+    ).select("_oid", "_omh", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     hits = standing.join(F.broadcast(ch), ["band", "bucket"]).filter(
         F.col("_oid") != F.col("_cid")
     )

@@ -236,13 +236,22 @@ def cmd_refresh_signatures(spark, args) -> dict:
     since the recorded cursor. The cursor is the signature table's own
     LAST refresh batch-id (= the corpus version it reflects), so the
     command is safely re-runnable from cron like every other layer."""
+    import shutil
+
     from medallion_etl_spark.cdc.table import LakeTable
     from medallion_etl_spark.operators.dedup_incremental import (
+        bootstrap_signatures,
         create_signature_table,
         refresh_signatures,
     )
 
     corpus = LakeTable.load(_table_root(args.out))
+    if getattr(args, "rebootstrap", False) and LakeTable.exists(args.sig_root):
+        # post-RESTORE recovery: restored rows carry pre-restore LSNs,
+        # so LWW can never revert the stale higher-LSN signatures — the
+        # only correct rebuild is a fresh table (read_changes gives the
+        # same advice when it refuses to span the restore)
+        shutil.rmtree(args.sig_root)
     if LakeTable.exists(args.sig_root):
         sig = LakeTable.load(args.sig_root)
         # batch refreshes commit under the corpus version (small ints);
@@ -250,12 +259,26 @@ def cmd_refresh_signatures(spark, args) -> dict:
         # 2^40+ streaming-epoch namespace — not a version cursor
         done = [b for b in sig.committed_batches() if b < (1 << 39)]
         since = max(done) if done else 0
+        try:
+            out = refresh_signatures(spark, corpus, sig, since_version=int(since))
+        except ValueError as e:
+            raise SystemExit(
+                f"refresh-signatures: {e}\n(recover with --rebootstrap: "
+                "rebuilds the signature table from the current corpus snapshot)"
+            ) from e
+        bootstrapped = False
     else:
+        # first fill reads the CURRENT snapshot, not the feed-from-v0 —
+        # a mature corpus's v0 feed is rightly refused by the
+        # retention/restore gates, and an empty derived table needs
+        # neither tombstones nor supersession
         sig = create_signature_table(args.sig_root, n_buckets=corpus.n_buckets)
         since = 0
-    out = refresh_signatures(spark, corpus, sig, since_version=int(since))
+        out = bootstrap_signatures(spark, corpus, sig)
+        bootstrapped = True
     return {
         "sig_root": args.sig_root,
+        "bootstrapped": bootstrapped,
         "since_version": int(since),
         "to_version": corpus.version,
         "rows_applied": int(out.get("rows_applied", 0)),
@@ -429,6 +452,13 @@ def main() -> None:
         "--sig-root",
         required=True,
         help="root of the derived signature LakeTable (created on first run)",
+    )
+    p.add_argument(
+        "--rebootstrap",
+        action="store_true",
+        help="drop and rebuild the signature table from the current corpus "
+        "snapshot (required after a corpus RESTORE: stale higher-LSN "
+        "signatures cannot be reverted through the LWW feed)",
     )
     p = sub.add_parser("restore")
     p.add_argument("version", help="older snapshot version to roll the table back to")

@@ -93,25 +93,58 @@ def test_noop_when_already_current(spark, built):
     assert out.get("skipped_empty") is True
 
 
-def test_candidates_match_full_probe_on_changed_docs(spark, built):
-    corpus, sig = built["corpus"], built["sig"]
-    changed = (
-        corpus.read_changes(spark, built["v_mid"])
-        .filter(F.col("_change_type") == "upsert")
-        .select("doc_id")
-        .distinct()
-    )
+
+
+@pytest.fixture(scope="module")
+def dup_built(spark, tmp_path_factory):
+    """A corpus CRAFTED to contain near-duplicates (gen_events tokens
+    are random, so real band collisions are vanishingly rare there):
+    dup-a == dup-b exactly; sim-a shares most of its shingles with
+    both; the r* docs are unrelated filler. changed = the second wave
+    (dup-b, sim-a, r9)."""
+    from medallion_etl_spark.schemas import EVENTS_SCHEMA
+
+    base = list(range(40))
+    rows = [(1, "dup-a", base), (2, "sim-a0", base[:35] + [99, 98, 97, 96, 95])]
+    rows += [(10 + i, f"r{i}", [1000 * i + j * 7 for j in range(30)]) for i in range(9)]
+    wave2 = [(100, "dup-b", base), (101, "sim-a", base[:36] + [99, 98, 97, 96]),
+             (102, "r9", [9000 + j * 11 for j in range(30)])]
+
+    def ev_df(rs):
+        return spark.createDataFrame(
+            [(lsn, "U", d, t, len(t), "s", None, 2) for lsn, d, t in rs],
+            EVENTS_SCHEMA,
+        )
+
+    root = str(tmp_path_factory.mktemp("dup") / "corpus")
+    corpus = LakeTable.create(root, n_buckets=4, schema_version=2)
+    sig = create_signature_table(str(tmp_path_factory.mktemp("dup") / "sig"), n_buckets=4)
+    from medallion_etl_spark.cdc.apply import apply_batch
+
+    apply_batch(spark, corpus, ev_df(rows), batch_id=0, lsn_lo=0, lsn_hi=99)
+    corpus = LakeTable.load(root)
+    v1 = corpus.version
+    refresh_signatures(spark, corpus, sig, since_version=0)
+    apply_batch(spark, LakeTable.load(root), ev_df(wave2), batch_id=1, lsn_lo=100, lsn_hi=199)
+    corpus = LakeTable.load(root)
+    refresh_signatures(spark, corpus, LakeTable.load(sig.root), since_version=v1)
+    changed = corpus.read_changes(spark, v1).select("doc_id").distinct()
+    return {"sig": LakeTable.load(sig.root), "changed": changed}
+
+
+def test_candidates_match_full_probe_on_changed_docs(spark, dup_built):
+    sig, changed = dup_built["sig"], dup_built["changed"]
     got = {
-        (r["doc_id"], r["candidate_id"], r["n_shared_bands"], r["est_jaccard"])
-        for r in incremental_candidates(spark, sig, changed).collect()
+        tuple(r) for r in incremental_candidates(spark, sig, changed).collect()
     }
+    assert len(got) > 0
     # full probe = every doc as "changed", then restrict to the set
     all_keys = sig.read(spark).select("doc_id")
     changed_set = {r["doc_id"] for r in changed.collect()}
     full = {
-        (r["doc_id"], r["candidate_id"], r["n_shared_bands"], r["est_jaccard"])
+        tuple(r)
         for r in incremental_candidates(spark, sig, all_keys).collect()
-        if r["doc_id"] in changed_set
+        if r[0] in changed_set
     }
     assert got == full
 
@@ -181,3 +214,70 @@ def test_streaming_refresh_follows_the_corpus(spark, built, tmp_path):
     v = LakeTable.load(sroot).version
     stream_refresh_signatures(spark, corpus.root, sroot, ckpt)
     assert LakeTable.load(sroot).version == v
+
+
+def test_bootstrap_snapshot_path_and_empty_span_cursor(spark, tmp_path):
+    """The review-found lifecycle bugs: (1) first fill of a signature
+    table must work on a MATURE corpus whose feed-from-v0 the
+    retention gate refuses (post-compaction tombstone purge); (2) a
+    net-empty refresh span must still commit its batch so the CLI
+    cursor advances past compaction-only versions; (3) bootstrap
+    refuses a non-empty table."""
+    from medallion_etl_spark.operators.dedup_incremental import (
+        bootstrap_signatures,
+    )
+
+    root = str(tmp_path / "corpus")
+    events = gen_events(spark, n_events=1500, n_keys=120, with_evolution=False)
+    corpus = LakeTable.create(root, n_buckets=4, schema_version=2)
+    replay(spark, events, corpus, chunk_size=1500)
+    corpus = LakeTable.load(root)
+    corpus.compact(spark, watermark_lsn=1499)  # purges tombstones
+    corpus = LakeTable.load(root)
+    assert int(corpus.meta["compaction_watermark_lsn"]) > 0
+
+    # (1) feed-from-v0 is refused; the snapshot bootstrap works
+    sig = create_signature_table(str(tmp_path / "sig"), n_buckets=4)
+    with pytest.raises(ValueError, match="purged tombstones"):
+        refresh_signatures(spark, corpus, sig, since_version=0)
+    out = bootstrap_signatures(spark, corpus, sig)
+    assert out["rows_applied"] > 0
+    sig = LakeTable.load(sig.root)
+    assert _sig_state(spark, sig) == _full_recompute(spark, corpus)
+
+    # (3) bootstrap refuses a non-empty table
+    with pytest.raises(ValueError, match="empty signature table"):
+        bootstrap_signatures(spark, corpus, sig)
+
+    # (2) compaction-only span: net-empty refresh still commits,
+    # advancing the manifest cursor to the corpus HEAD version
+    v_before = corpus.version
+    corpus.compact(spark, watermark_lsn=1499)
+    corpus = LakeTable.load(root)
+    assert corpus.version == v_before + 1
+    out = refresh_signatures(spark, corpus, sig, since_version=v_before)
+    assert int(out.get("rows_applied", 0)) == 0 and not out.get("skipped_empty")
+    sig = LakeTable.load(sig.root)
+    assert corpus.version in sig.committed_batches()
+
+
+def test_candidates_changed_sigs_path_matches_keys_path(spark, dup_built):
+    """Passing the fresh signatures directly (the refresh just
+    computed them) must produce the same candidates as the key-probe
+    path, without a second read of the signature table. An exact
+    duplicate pair must surface with every band shared and est 1.0."""
+    sig, changed = dup_built["sig"], dup_built["changed"]
+    via_keys = {
+        tuple(r) for r in incremental_candidates(spark, sig, changed).collect()
+    }
+    fresh = sig.read(spark).join(changed, "doc_id", "semi")
+    via_sigs = {
+        tuple(r)
+        for r in incremental_candidates(spark, sig, changed_sigs=fresh).collect()
+    }
+    assert via_keys == via_sigs and len(via_keys) > 0
+    from medallion_etl_spark.operators.dedup_text import N_BANDS
+
+    assert ("dup-b", "dup-a", N_BANDS, 1.0) in via_keys
+    with pytest.raises(ValueError, match="exactly one"):
+        incremental_candidates(spark, sig)

@@ -265,3 +265,39 @@ def test_refresh_signatures_cursor_and_rerun(spark, tmp_path, sf_tiny):
     # nothing new committed -> skip, cursor unchanged
     res2 = cmd_refresh_signatures(spark, _args(tmp_path, sf_tiny, sig_root=sroot))
     assert res2["skipped"] and res2["since_version"] == res["to_version"]
+
+
+def test_refresh_signatures_rebootstrap_after_restore(spark, tmp_path, sf_tiny):
+    """After a corpus RESTORE the feed cursor is unusable by design
+    (stale higher-LSN signatures can't be reverted through LWW): the
+    CLI must fail with guidance, and --rebootstrap must rebuild the
+    signature table from the restored snapshot."""
+    from medallion_etl_spark.cdc.table import LakeTable
+    from medallion_etl_spark.operators.dedup_incremental import token_minhash
+    from pyspark.sql import functions as F
+    from scripts.orchestrator import cmd_refresh_signatures, cmd_restore
+
+    cmd_bronze(spark, _args(tmp_path, sf_tiny))
+    sroot = str(tmp_path / "sig_table")
+    cmd_refresh_signatures(spark, _args(tmp_path, sf_tiny, sig_root=sroot))
+
+    cmd_restore(spark, _args(tmp_path, sf_tiny, version=1))
+    with pytest.raises(SystemExit, match="rebootstrap"):
+        cmd_refresh_signatures(spark, _args(tmp_path, sf_tiny, sig_root=sroot))
+
+    res = cmd_refresh_signatures(
+        spark, _args(tmp_path, sf_tiny, sig_root=sroot, rebootstrap=True)
+    )
+    assert res["bootstrapped"]
+    corpus = LakeTable.load(str(tmp_path / "docs_table"))
+    exp = {
+        r["doc_id"]: tuple(r["mh"])
+        for r in corpus.read(spark)
+        .select("doc_id", token_minhash(F.col("tokens")).alias("mh"))
+        .collect()
+    }
+    got = {
+        r["doc_id"]: tuple(r["mh"])
+        for r in LakeTable.load(sroot).read(spark).collect()
+    }
+    assert got == exp
