@@ -53,17 +53,19 @@ def _scratch_dir(prefix: str, sf: str) -> str:
     _*_ROOTS caches (not the dir name) provide reuse, so pid
     uniqueness costs nothing.
 
-    Dead siblings are swept on the way in: a SIGKILLed driver never
-    runs its atexit cleanup and no later process recomputes its
-    pid-suffixed name, so without the sweep every crash would leak a
-    multi-GB scratch table until reboot. A sibling whose pid is still
-    alive is left alone (it is a concurrent run's live scratch)."""
+    Dead siblings of the SAME query family (any input digest) are
+    swept on the way in: a SIGKILLed driver never runs its atexit
+    cleanup and no later process recomputes its pid-suffixed name.
+    Best-effort, not a guarantee — a family never run again stays
+    leaked until /tmp cleanup, and a recycled pid that belongs to a
+    live process keeps its namesake dir. A sibling whose pid is alive
+    is always left alone (a concurrent run's live scratch)."""
     import glob
     import re
 
     digest = hashlib.md5(sf.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"{prefix}_{digest}")
-    for stale in glob.glob(f"{base}_p*"):
+    family = os.path.join(tempfile.gettempdir(), f"{prefix}_")
+    for stale in glob.glob(f"{family}*_p*"):
         m = re.fullmatch(r".*_p(\d+)", stale)
         if m is None:
             continue
@@ -72,11 +74,12 @@ def _scratch_dir(prefix: str, sf: str) -> str:
             continue
         try:
             os.kill(pid, 0)  # raises if no such process
-        except ProcessLookupError:
+        except (ProcessLookupError, OverflowError):
+            # no such pid / pid impossible on this kernel: dead scratch
             shutil.rmtree(stale, ignore_errors=True)
-        except PermissionError:
-            pass  # pid exists under another uid: not ours, keep
-    return f"{base}_p{os.getpid()}"
+        except OSError:
+            pass  # EPERM etc: some live process owns the pid, keep
+    return f"{family}{digest}_p{os.getpid()}"
 
 
 def _replay_flagship(

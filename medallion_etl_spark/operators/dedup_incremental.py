@@ -178,6 +178,13 @@ def incremental_candidates(
         changed_sigs = state.join(
             F.broadcast(changed_keys.select("doc_id").distinct()), "doc_id", "semi"
         )
+    else:
+        # the contract is ONE signature per doc (the NET feed shape);
+        # exact-duplicate rows would double-count shared bands, so
+        # collapse them. Conflicting signatures for one doc_id are a
+        # caller bug this cannot repair — the NET feed never produces
+        # them.
+        changed_sigs = changed_sigs.dropDuplicates(["doc_id"])
     ch = changed_sigs.select(
         F.col("doc_id").alias("_cid"),
         F.col("mh").alias("_cmh"),

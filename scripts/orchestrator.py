@@ -250,8 +250,24 @@ def cmd_refresh_signatures(spark, args) -> dict:
         # post-RESTORE recovery: restored rows carry pre-restore LSNs,
         # so LWW can never revert the stale higher-LSN signatures — the
         # only correct rebuild is a fresh table (read_changes gives the
-        # same advice when it refuses to span the restore)
+        # same advice when it refuses to span the restore). Build the
+        # replacement FIRST, swap after: a crash mid-rebuild must leave
+        # either the old table (before the swap) or nothing (the plain
+        # run bootstraps a missing table), never a half-filled one.
+        rebuild = f"{args.sig_root.rstrip(os.sep)}.rebuild-{os.getpid()}"
+        shutil.rmtree(rebuild, ignore_errors=True)
+        new_sig = create_signature_table(rebuild, n_buckets=corpus.n_buckets)
+        out = bootstrap_signatures(spark, corpus, new_sig)
         shutil.rmtree(args.sig_root)
+        os.rename(rebuild, args.sig_root)
+        return {
+            "sig_root": args.sig_root,
+            "bootstrapped": True,
+            "since_version": 0,
+            "to_version": corpus.version,
+            "rows_applied": int(out.get("rows_applied", 0)),
+            "skipped": False,
+        }
     if LakeTable.exists(args.sig_root):
         sig = LakeTable.load(args.sig_root)
         # batch refreshes commit under the corpus version (small ints);

@@ -18,7 +18,8 @@ full-build cost (plus fixed job overhead, which dominates at this
 sandbox scale and makes the measured ratio CONSERVATIVE).
 
 Usage: python scripts/sig_refresh_probe.py [parallelism] [n_events] [tail_pct] [write_mode]
-Prints one JSON line; writes BENCH/incremental_sig.json.
+Prints one JSON line; writes BENCH/incremental_sig.json (latest run —
+the curated evidence copies are BENCH/incremental_sig_<size>_<mode>.json).
 """
 
 from __future__ import annotations
