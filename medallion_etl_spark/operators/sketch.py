@@ -159,3 +159,132 @@ QUERIES = {
     "kmv_distinct_users": (kmv_distinct_users, KMV_DISTINCT_USERS_SQL),
     "hll_distinct_users": (hll_distinct_users, None),
 }
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): FREQUENCY estimates
+# with fixed memory, completing the mergeable-sketch family (KMV/HLL
+# cover distinct counts). The sketch is a D x W counter grid; counters
+# ADD, so partial sketches from any partitioning/rollup level merge by
+# summation — demonstrated by test_sketch.py's split-merge property.
+# Estimates are one-sided: est >= true always, with overcounts only
+# from bucket collisions.
+#
+# Deterministic md5-based row hashes make the WHOLE pipeline (grid AND
+# estimates) reproducible in DuckDB, so unlike library HLL this sketch
+# is oracle-gated end to end.
+#
+# Scale shape: the grid build is one explode (D small structs per
+# word) + one hash aggregate -> at most D*W rows regardless of corpus
+# size; the estimate join broadcasts the grid (it is the SMALL side by
+# construction). Text never shuffles; words do.
+
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_bucket(word: F.Column, row: int) -> F.Column:
+    h = F.md5(F.encode(F.concat(F.lit(f"{row}|"), word), "UTF-8"))
+    return (
+        (F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))) * 31
+        + F.ascii(F.substring(h, 3, 1))
+    ) % CMS_W
+
+
+def cms_grid(words: DataFrame) -> DataFrame:
+    """The D x W counter grid for a frame with a ``word`` column —
+    at most CMS_D * CMS_W rows however large the input. Grids merge by
+    per-cell SUM (test_sketch.py pins split-build-merge ≡ one build)."""
+    return (
+        words.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row"),
+                            _cms_bucket(F.col("word"), r).alias("bucket"),
+                        )
+                        for r in range(CMS_D)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_word_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from .util import spread
+
+    docs = spread(spark, T(spark, sf, "documents"))
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    grid = cms_grid(words)
+    truth = words.groupBy("word").agg(F.count(F.lit(1)).alias("true_count"))
+    probes = truth.select(
+        "word",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(F.col("word"), r).alias("bucket"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("word", "true_count", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(grid), ["row", "bucket"])
+        .groupBy("word", "true_count")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return est.select(
+        "word",
+        "est_count",
+        "true_count",
+        (F.col("est_count") - F.col("true_count")).alias("overcount"),
+    ).orderBy("word")
+
+
+_CMS_BUCKET_SQL = (
+    "(((ascii(substring(md5(concat(CAST({r} AS VARCHAR), '|', word)), 1, 1)) * 31"
+    " + ascii(substring(md5(concat(CAST({r} AS VARCHAR), '|', word)), 2, 1))) * 31"
+    " + ascii(substring(md5(concat(CAST({r} AS VARCHAR), '|', word)), 3, 1)))"
+    f" % {CMS_W})"
+)
+
+_CMS_ROWS_SQL = ", ".join(
+    f"({r}, {_CMS_BUCKET_SQL.format(r=r)})" for r in range(CMS_D)
+)
+
+CMS_WORD_COUNTS_SQL = f"""
+WITH words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+), w AS (
+  SELECT word FROM words WHERE length(word) > 0
+), rb AS (
+  SELECT word, u.r AS row, u.b AS bucket
+  FROM w, LATERAL (SELECT unnest([{_CMS_ROWS_SQL}], recursive := true)) AS u(r, b)
+), grid AS (
+  SELECT row, bucket, count(*) AS cnt FROM rb GROUP BY row, bucket
+), truth AS (
+  SELECT word, count(*) AS true_count FROM w GROUP BY word
+), probes AS (
+  SELECT t.word, t.true_count, u.r AS row, u.b AS bucket
+  FROM truth t, LATERAL (SELECT unnest([{_CMS_ROWS_SQL}], recursive := true)) AS u(r, b)
+)
+SELECT p.word,
+       min(g.cnt) AS est_count,
+       p.true_count,
+       min(g.cnt) - p.true_count AS overcount
+FROM probes p JOIN grid g ON g.row = p.row AND g.bucket = p.bucket
+GROUP BY p.word, p.true_count
+ORDER BY word
+"""
+
+QUERIES["cms_word_counts"] = (cms_word_counts, CMS_WORD_COUNTS_SQL)

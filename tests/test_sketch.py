@@ -65,3 +65,31 @@ def test_hll_accuracy_vs_exact(spark):
     )
     for r in per.collect() + glob.collect():
         assert abs(r["est"] - r["exact"]) / r["exact"] < 0.05, dict(r.asDict())
+
+
+def test_cms_one_sided_and_mergeable(spark, sf_tiny):
+    """Count-Min guarantees: est >= true for EVERY key, and grids
+    built from disjoint splits merge by per-cell summation into
+    exactly the whole-corpus grid."""
+    from pyspark.sql import functions as F
+
+    from medallion_etl_spark.operators.sketch import cms_grid, cms_word_counts
+
+    out = cms_word_counts(spark, sf_tiny).collect()
+    assert len(out) > 0
+    assert all(r["overcount"] >= 0 for r in out)
+
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    half_a = cms_grid(words.filter(F.col("doc_id") % 2 == 0))
+    half_b = cms_grid(words.filter(F.col("doc_id") % 2 == 1))
+    merged = (
+        half_a.unionByName(half_b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_grid(words)
+    canon = lambda df: sorted(tuple(r) for r in df.collect())
+    assert canon(merged) == canon(whole)
