@@ -281,3 +281,78 @@ def test_candidates_changed_sigs_path_matches_keys_path(spark, dup_built):
     assert ("dup-b", "dup-a", N_BANDS, 1.0) in via_keys
     with pytest.raises(ValueError, match="exactly one"):
         incremental_candidates(spark, sig)
+
+
+# ---------------------------------------------------------------------------
+# Property: signature refreshes over ANY span partition of the corpus
+# version history, applied in ANY order (with redelivery), converge to
+# the full recompute — the "idempotent and order-independent like any
+# other batch" claim in refresh_signatures's docstring, adversarially.
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PKEYS = [f"k{i}" for i in range(5)]
+
+_events_strategy = st.lists(
+    st.tuples(st.sampled_from(range(len(_PKEYS))), st.sampled_from(["U", "U", "U", "D"])),
+    min_size=4,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_events_strategy, data=st.data())
+def test_any_refresh_span_order_converges(spark, tmp_path_factory, events, data):
+    from medallion_etl_spark.cdc.apply import apply_batch
+    from medallion_etl_spark.schemas import EVENTS_SCHEMA
+
+    tmp = tmp_path_factory.mktemp("sigprop")
+    corpus = LakeTable.create(str(tmp / "c"), n_buckets=2, schema_version=2)
+    sig = create_signature_table(str(tmp / "s"), n_buckets=2)
+
+    n = len(events)
+    rows = [
+        (lsn, op, _PKEYS[ki], None if op == "D" else [lsn, ki, 7],
+         None if op == "D" else 3, None if op == "D" else "s", None, 2)
+        for lsn, (ki, op) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+    # replay in C chunks -> corpus versions 1..C
+    cuts = data.draw(
+        st.lists(st.integers(min_value=1, max_value=max(n - 1, 1)), max_size=2).map(
+            lambda xs: sorted(set(xs))
+        )
+    )
+    bounds = [0, *[c for c in cuts if c < n], n]
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        chunk = df.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+        apply_batch(spark, corpus, chunk, batch_id=i, lsn_lo=lo, lsn_hi=hi - 1)
+        corpus = LakeTable.load(corpus.root)
+    n_versions = corpus.version
+
+    # random span partition of [0, n_versions], random application order
+    vcuts = data.draw(
+        st.lists(
+            st.integers(min_value=1, max_value=max(n_versions - 1, 1)), max_size=2
+        ).map(lambda xs: sorted(set(xs)))
+    )
+    vb = [0, *[c for c in vcuts if c < n_versions], n_versions]
+    spans = list(zip(vb, vb[1:]))
+    order = data.draw(st.permutations(spans))
+    redeliver = data.draw(st.booleans())
+    for lo_v, hi_v in order:
+        handle = LakeTable.load_version(corpus.root, hi_v)
+        refresh_signatures(spark, handle, LakeTable.load(sig.root), since_version=lo_v)
+        if redeliver:
+            refresh_signatures(
+                spark, handle, LakeTable.load(sig.root), since_version=lo_v
+            )
+
+    got = _sig_state(spark, LakeTable.load(sig.root))
+    assert got == _full_recompute(spark, corpus)
