@@ -70,3 +70,29 @@ def split_part(col, delim: str, n: int) -> Column:
     deposits_transformer.py:45-46). Missing part -> NULL."""
     c = F.col(col) if isinstance(col, str) else col
     return F.element_at(F.split(c, delim), n)
+
+
+def md5_bucket(col, mod: int) -> Column:
+    """Deterministic 0..mod-1 bucket from a string column: ascii
+    polynomial ((a*31+b)*31+c) over the first 3 md5 hex chars. The ONE
+    definition of this cross-engine hash — md5_bucket_sql is its DuckDB
+    twin; keep them in lockstep (oracle pairing depends on it). Salt by
+    concatenating into the input ('<salt>|' + value), not by changing
+    the fold."""
+    h = F.md5(F.encode(col, "UTF-8"))
+    return (
+        (
+            (F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))) * 31
+            + F.ascii(F.substring(h, 3, 1))
+        )
+        % mod
+    ).cast("int")
+
+
+def md5_bucket_sql(expr: str, mod: int) -> str:
+    """DuckDB twin of md5_bucket over an SQL expression string."""
+    h = f"md5({expr})"
+    return (
+        f"CAST(((ascii(substring({h}, 1, 1)) * 31 + ascii(substring({h}, 2, 1))) * 31"
+        f" + ascii(substring({h}, 3, 1))) % {mod} AS INT)"
+    )

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exprs import md5_bucket, md5_bucket_sql
 from ..sources.readers import load_table as T
 from .util import spread
 
@@ -46,7 +47,10 @@ TOP_K_WORDS = 50
 
 def doc_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     docs = spread(spark, T(spark, sf, "documents"))
-    words = F.split(F.lower("text"), " ")
+    # empty tokens from repeated/leading whitespace are NOT words —
+    # counting them would inflate every fraction (and '' can become the
+    # "top word"); same filter the sibling operators apply
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: F.length(w) > 0)
     n = F.size(words)
 
     dup_word_frac = F.lit(1.0) - F.size(F.array_distinct(words)) / n
@@ -87,7 +91,9 @@ def doc_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 DOC_REPETITION_STATS_SQL = f"""
 WITH feats AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> length(w) > 0) AS words
+  FROM documents
 ), g AS (
   SELECT doc_id, words, len(words) AS n,
          CASE WHEN len(words) >= 2
@@ -174,14 +180,7 @@ VOCAB_SIZE = 32768
 
 
 def _token_id(w: F.Column) -> F.Column:
-    h = F.md5(F.encode(w, "UTF-8"))
-    return (
-        (
-            (F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))) * 31
-            + F.ascii(F.substring(h, 3, 1))
-        )
-        % VOCAB_SIZE
-    ).cast("int")
+    return md5_bucket(w, VOCAB_SIZE)
 
 
 def tokenize_documents(spark: SparkSession, sf: str) -> DataFrame:
@@ -196,10 +195,7 @@ def tokenize_documents(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_TOKEN_ID_SQL = (
-    "CAST(((ascii(substring(md5(w), 1, 1)) * 31 + ascii(substring(md5(w), 2, 1))) * 31"
-    f" + ascii(substring(md5(w), 3, 1))) % {VOCAB_SIZE} AS INT)"
-)
+_TOKEN_ID_SQL = md5_bucket_sql("w", VOCAB_SIZE)
 
 TOKENIZE_DOCUMENTS_SQL = f"""
 SELECT doc_id,

@@ -184,33 +184,41 @@ CMS_W = 1024
 
 
 def _cms_bucket(word: F.Column, row: int) -> F.Column:
-    h = F.md5(F.encode(F.concat(F.lit(f"{row}|"), word), "UTF-8"))
-    return (
-        (F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))) * 31
-        + F.ascii(F.substring(h, 3, 1))
-    ) % CMS_W
+    from ..functions.exprs import md5_bucket
+
+    return md5_bucket(F.concat(F.lit(f"{row}|"), word), CMS_W)
 
 
-def cms_grid(words: DataFrame) -> DataFrame:
+def _rb_explode(word: F.Column) -> F.Column:
+    """The exploded (row, bucket) struct for one word — the ONE
+    definition of the probe/grid cell derivation (grid build and
+    estimate probes must hash identically or estimates silently read
+    foreign cells)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"), _cms_bucket(word, r).alias("bucket")
+                )
+                for r in range(CMS_D)
+            ]
+        )
+    )
+
+
+def cms_grid(words: DataFrame, weight: str | None = None) -> DataFrame:
     """The D x W counter grid for a frame with a ``word`` column —
     at most CMS_D * CMS_W rows however large the input. Grids merge by
-    per-cell SUM (test_sketch.py pins split-build-merge ≡ one build)."""
+    per-cell SUM (test_sketch.py pins split-build-merge ≡ one build).
+    ``weight``: build from pre-aggregated (word, count) rows instead of
+    raw occurrences — a cell's count is exactly the sum of the counts
+    of the words hashing to it, so the two are identical by
+    construction."""
+    one = F.lit(1) if weight is None else F.col(weight)
     return (
-        words.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).alias("row"),
-                            _cms_bucket(F.col("word"), r).alias("bucket"),
-                        )
-                        for r in range(CMS_D)
-                    ]
-                )
-            ).alias("rb")
-        )
+        words.select(_rb_explode(F.col("word")).alias("rb"), one.alias("_w"))
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_w").alias("cnt"))
     )
 
 
@@ -221,22 +229,14 @@ def cms_word_counts(spark: SparkSession, sf: str) -> DataFrame:
     words = docs.select(
         F.explode(F.split(F.lower("text"), " ")).alias("word")
     ).filter(F.length("word") > 0)
-    grid = cms_grid(words)
+    # ONE corpus pass: the exact per-word counts feed BOTH the grid
+    # (count-weighted cell sums — identical to counting occurrences)
+    # and the probes; here the probe list is the full (small) vocab,
+    # production probes a candidate list against the same grid.
     truth = words.groupBy("word").agg(F.count(F.lit(1)).alias("true_count"))
+    grid = cms_grid(truth, weight="true_count")
     probes = truth.select(
-        "word",
-        "true_count",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        _cms_bucket(F.col("word"), r).alias("bucket"),
-                    )
-                    for r in range(CMS_D)
-                ]
-            )
-        ).alias("rb"),
+        "word", "true_count", _rb_explode(F.col("word")).alias("rb")
     ).select("word", "true_count", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
     est = (
         probes.join(F.broadcast(grid), ["row", "bucket"])
@@ -251,12 +251,9 @@ def cms_word_counts(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("word")
 
 
-_CMS_BUCKET_SQL = (
-    "(((ascii(substring(md5(concat(CAST({r} AS VARCHAR), '|', word)), 1, 1)) * 31"
-    " + ascii(substring(md5(concat(CAST({r} AS VARCHAR), '|', word)), 2, 1))) * 31"
-    " + ascii(substring(md5(concat(CAST({r} AS VARCHAR), '|', word)), 3, 1)))"
-    f" % {CMS_W})"
-)
+from ..functions.exprs import md5_bucket_sql as _mbs  # noqa: E402
+
+_CMS_BUCKET_SQL = _mbs("concat(CAST({r} AS VARCHAR), '|', word)", CMS_W)
 
 _CMS_ROWS_SQL = ", ".join(
     f"({r}, {_CMS_BUCKET_SQL.format(r=r)})" for r in range(CMS_D)
@@ -267,13 +264,13 @@ WITH words AS (
   SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
 ), w AS (
   SELECT word FROM words WHERE length(word) > 0
-), rb AS (
-  SELECT word, u.r AS row, u.b AS bucket
-  FROM w, LATERAL (SELECT unnest([{_CMS_ROWS_SQL}], recursive := true)) AS u(r, b)
-), grid AS (
-  SELECT row, bucket, count(*) AS cnt FROM rb GROUP BY row, bucket
 ), truth AS (
   SELECT word, count(*) AS true_count FROM w GROUP BY word
+), rb AS (
+  SELECT word, true_count, u.r AS row, u.b AS bucket
+  FROM truth, LATERAL (SELECT unnest([{_CMS_ROWS_SQL}], recursive := true)) AS u(r, b)
+), grid AS (
+  SELECT row, bucket, CAST(sum(true_count) AS BIGINT) AS cnt FROM rb GROUP BY row, bucket
 ), probes AS (
   SELECT t.word, t.true_count, u.r AS row, u.b AS bucket
   FROM truth t, LATERAL (SELECT unnest([{_CMS_ROWS_SQL}], recursive := true)) AS u(r, b)

@@ -31,14 +31,26 @@ HORIZON = "1 hour"
 
 
 def view_purchase_stream_join(
-    events: DataFrame, *, watermark: str = "2 hours"
+    events: DataFrame, *, watermark: str | None = None
 ) -> DataFrame:
     """Inner join of the view and purchase sub-streams of ``events``:
     (view_id, purchase_id, user_id, gap_us) for every same-user
-    purchase with ``view_ts <= purchase_ts < view_ts + 1 hour`` —
-    match-for-match identical to the batch
-    ``view_purchase_range_join``. Works on batch frames too (the
-    watermarks are streaming-only and skipped there)."""
+    purchase with ``view_ts <= purchase_ts < view_ts + 1 hour``.
+    Works on batch frames too (watermarks are streaming-only).
+
+    ``watermark`` is REQUIRED for streaming input, deliberately: it is
+    the completeness/state trade and no default is safe — rows later
+    than it are DROPPED, so the output matches the batch
+    ``view_purchase_range_join`` only when the watermark covers the
+    stream's actual disorder (a drop-free backfill over unordered
+    files needs one wider than the data's whole time span; a live
+    tail wants hours). test_stream_join.py pins both regimes."""
+    if events.isStreaming and watermark is None:
+        raise ValueError(
+            "streaming input requires an explicit watermark= — it bounds "
+            "join state by DROPPING rows later than this delay, so the "
+            "right value is the stream's real disorder (no safe default)"
+        )
     ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
     views = ev.filter(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_id"),
