@@ -356,3 +356,35 @@ def test_any_refresh_span_order_converges(spark, tmp_path_factory, events, data)
 
     got = _sig_state(spark, LakeTable.load(sig.root))
     assert got == _full_recompute(spark, corpus)
+
+
+def test_ddl_on_custom_schema_table_keeps_refreshes_working(spark, tmp_path):
+    """Schema evolution is metadata-driven, so it must work on a
+    CUSTOM-schema table too: add a column to the signature table
+    mid-life, keep refreshing at the old stream schema version, and
+    read old+new files aligned (old rows surface NULL)."""
+    root = str(tmp_path / "corpus")
+    events = gen_events(spark, n_events=1000, n_keys=80, with_evolution=False)
+    corpus = LakeTable.create(root, n_buckets=4, schema_version=2)
+    replay(spark, events, corpus, chunk_size=500, max_batches=1)
+    corpus = LakeTable.load(root)
+    v_mid = corpus.version
+
+    sig = create_signature_table(str(tmp_path / "sig"), n_buckets=4)
+    refresh_signatures(spark, corpus, sig, since_version=0)
+
+    sig = LakeTable.load(sig.root)
+    ddl = sig.add_column("model", "string")
+    assert ddl["schema_version"] == 2
+
+    replay(spark, events, LakeTable.load(root), chunk_size=500)
+    corpus = LakeTable.load(root)
+    refresh_signatures(spark, corpus, LakeTable.load(sig.root), since_version=v_mid)
+
+    sig = LakeTable.load(sig.root)
+    got = sig.read(spark)
+    assert "model" in got.columns
+    rows = got.collect()
+    assert len(rows) > 0 and all(r["model"] is None for r in rows)
+    mh_state = {r["doc_id"]: tuple(r["mh"]) for r in rows}
+    assert mh_state == _full_recompute(spark, corpus)
