@@ -60,11 +60,15 @@ def _dir_bytes(path: str) -> int:
 
 def _record_write(spark, table, rel_dir, stats, batch_id, mark):
     """Shared post-write tail of the COW and MOR apply paths: map the
-    freshly written ``_bucket=`` dirs, record per-bucket lineage
-    (bytes from the new dirs), and collect the commit footer stats.
-    Returns ``(new_dirs, rows_applied, fstats)`` — one implementation
-    so the two write paths can never diverge in what a commit
-    records."""
+    freshly written ``_bucket=`` dirs, build the per-bucket lineage
+    rows (bytes from the new dirs), and collect the commit footer
+    stats. Returns ``(new_dirs, rows_applied, fstats, lineage_rows)``
+    — one implementation so the two write paths can never diverge in
+    what a commit records. The lineage rows are only BUILT here; the
+    caller writes them AFTER the manifest commit succeeds, so durable
+    lineage never describes an uncommitted attempt (a racing loser's
+    overwrite, a crash before commit) — a crash in the narrow window
+    after commit loses only the diagnostic row, never invents one."""
     new_dirs = map_bucket_dirs(table.root, rel_dir)
     rows_applied = sum(int(r["rows_applied"]) for r in stats)
     lineage_rows = [
@@ -81,10 +85,8 @@ def _record_write(spark, table, rel_dir, stats, batch_id, mark):
         for r in stats
     ]
     mark("footer_stats")
-    write_lineage(spark, table.root, batch_id, lineage_rows)
-    mark("lineage")
     fstats = bucket_footer_stats(table.root, new_dirs)
-    return new_dirs, rows_applied, fstats
+    return new_dirs, rows_applied, fstats, lineage_rows
 
 
 def apply_batch(
@@ -369,7 +371,7 @@ def apply_batch(
 
     # a changed bucket with all rows deleted produces no dir and is
     # dropped from metadata
-    new_dirs, rows_applied, fstats = _record_write(spark, table, rel_dir, stats, batch_id, mark)
+    new_dirs, rows_applied, fstats, lineage_rows = _record_write(spark, table, rel_dir, stats, batch_id, mark)
     removed = set(changed) - set(new_dirs)
     table.commit(
         new_dirs,
@@ -380,6 +382,8 @@ def apply_batch(
         bucket_max_lsns={b: s[1] for b, s in fstats.items()},
     )
     mark("commit")
+    write_lineage(spark, table.root, batch_id, lineage_rows)
+    mark("lineage")
     return {
         "batch_id": batch_id,
         "rows_applied": rows_applied,
@@ -434,7 +438,7 @@ def _apply_mor(
     ).parquet(out_dir)
     mark("merge_write")
 
-    new_dirs, rows_applied, fstats = _record_write(spark, table, rel_dir, stats, batch_id, mark)
+    new_dirs, rows_applied, fstats, lineage_rows = _record_write(spark, table, rel_dir, stats, batch_id, mark)
     table.commit(
         {},
         set(),
@@ -451,6 +455,8 @@ def _apply_mor(
         },
     )
     mark("commit")
+    write_lineage(spark, table.root, batch_id, lineage_rows)
+    mark("lineage")
     return {
         "batch_id": batch_id,
         "rows_applied": rows_applied,

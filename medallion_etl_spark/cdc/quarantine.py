@@ -25,6 +25,13 @@ analog):
 - ``drop``: replay the rest, report the dropped count.
 
 All paths are pure column expressions — no per-row Python.
+
+Terminality: a diverted (quarantined/dropped) event is PROCESSED at
+its LSN — the committed batch claims its full planned range, because
+redelivery idempotence requires re-presenting the identical range.
+Remediation therefore means re-sending the fixed event at a NEW LSN;
+a re-send at the original LSN is a manifest no-op for replay and sits
+at or below every later change-feed watermark.
 """
 
 from __future__ import annotations

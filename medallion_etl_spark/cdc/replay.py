@@ -87,6 +87,19 @@ def replay(
     if max_batches is not None:
         todo = todo[:max_batches]
 
+    # scope this run to the PENDING window: on a resume where the
+    # stream grew (or a mid-stream restart), splitting/validating the
+    # already-committed ranges again would re-quarantine old rows
+    # under a new range dir and double-count diagnostics. NULL-lsn
+    # rows have no LSN home, so they stay in scope every run. Fresh
+    # runs are unchanged (the window IS the stream bounds).
+    pend_lo = todo[0][1] if todo else lsn_min
+    pend_hi = todo[-1][2] if todo else lsn_max
+    if todo and (pend_lo > lsn_min or pend_hi < lsn_max):
+        events = events.filter(
+            F.col("lsn").isNull() | F.col("lsn").between(pend_lo, pend_hi)
+        )
+
     rows_quarantined = 0
     rows_dropped = 0
     quarantine_path = None
@@ -102,7 +115,7 @@ def replay(
                 # discovery over the parent would fail or conflate them)
                 quarantine_path = os.path.join(
                     quarantine_dir or os.path.join(table.root, "_quarantine"),
-                    f"range-{lsn_min}-{lsn_max}",
+                    f"range-{pend_lo}-{pend_hi}",
                 )
                 bad.write.mode("overwrite").parquet(quarantine_path)
                 rows_quarantined = n_bad
@@ -127,7 +140,7 @@ def replay(
             if on_violation == "quarantine":
                 violations_path = os.path.join(
                     quarantine_dir or os.path.join(table.root, "_quarantine"),
-                    f"range-{lsn_min}-{lsn_max}-checks",
+                    f"range-{pend_lo}-{pend_hi}-checks",
                 )
                 violating.write.mode("overwrite").parquet(violations_path)
             rows_violating = n_viol

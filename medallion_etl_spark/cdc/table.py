@@ -165,6 +165,28 @@ def entry_max_lsn(entry: dict) -> int | None:
     return best
 
 
+def watermark_crossing_batches(old_meta: dict, new_meta: dict, watermark: int) -> list[int]:
+    """Batch ids committed in the (old, new] span whose planned LSN
+    range starts at or below the old snapshot's commit watermark.
+
+    The engine deliberately supports out-of-LSN-order APPLICATION
+    (late chunks, LSN-range backfills — LWW makes them converge), but
+    an LSN-watermark change feed cannot represent such a commit: its
+    rows become newly visible at LSNs the ``_lsn > watermark`` pruning
+    skips, so a feed spanning it would silently lose them — the same
+    hazard class as RESTORE, and it gets the same loud gate. Empty
+    commits (rows_applied 0 — resume probes, net-empty refresh spans)
+    are exempt: they add no rows."""
+    old_b = old_meta.get("committed_batches", {})
+    return sorted(
+        int(bid)
+        for bid, rec in new_meta.get("committed_batches", {}).items()
+        if bid not in old_b
+        and int(rec.get("rows_applied", 0)) > 0
+        and int(rec["lsn_lo"]) <= watermark
+    )
+
+
 def bucket_expr(key_col: str, n_buckets: int) -> F.Column:
     """Bucket id = pmod(murmur3(key), n_buckets) — deliberately THE
     SAME function Spark's HashPartitioning uses, so any frame that was
@@ -745,6 +767,15 @@ class LakeTable:
                 f"up to LSN {purge_lsn}: delete records in that span are "
                 "gone. Re-bootstrap from the current snapshot, or pass "
                 "allow_incomplete=True if missing deletes are acceptable."
+            )
+        crossers = watermark_crossing_batches(old.meta, self.meta, watermark)
+        if crossers:
+            raise ValueError(
+                f"change feed since version {since_version} (watermark LSN "
+                f"{watermark}) spans batch(es) {crossers} committed with LSN "
+                "ranges at or below it (an out-of-order chunk or an LSN-range "
+                "backfill): their rows are invisible to an LSN-watermark "
+                "feed — re-bootstrap the downstream from the current snapshot."
             )
         # layout-diff (base dir + delta list — a MOR delta append moves
         # the signature without moving the base pointer), then the

@@ -110,8 +110,22 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         # offset below the engine's log would rewind the stream.
         self._cursor: int = self.start_version
         # schema (and the declared-version map) is pinned at query
-        # start — see module docstring
-        t = LakeTable.load(self.root)
+        # start — see module docstring. When the DataSource resolved
+        # the query schema it recorded the version it read
+        # (pinnedVersion); pinning the reader to the SAME version
+        # closes the window where a DDL commit lands between the two
+        # loads and the reader would emit batches in a schema the
+        # query never declared. Fallback to HEAD if that version file
+        # was expired in the meantime.
+        pv = options.get("pinnedVersion")
+        try:
+            t = (
+                LakeTable.load_version(self.root, int(pv))
+                if pv is not None
+                else LakeTable.load(self.root)
+            )
+        except FileNotFoundError:
+            t = LakeTable.load(self.root)
         self.target_sv = t.schema_version
         self.schemas_json = {v: st.jsonValue() for v, st in t.schemas.items()}
 
@@ -128,9 +142,6 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         end = max(end, self._cursor)  # never move backward
         self._cursor = end
         return {"version": end}
-
-    def _meta(self, version: int) -> dict:
-        return LakeTable.load_version(self.root, version).meta
 
     def partitions(self, start: dict, end: dict) -> list[FeedPartition]:
         start_v, end_v = int(start["version"]), int(end["version"])
@@ -166,6 +177,20 @@ class LakeFeedStreamReader(DataSourceStreamReader):
                 f"stream offset version {start_v} (watermark LSN {watermark}) "
                 f"predates a compaction purge up to LSN {purge_lsn}; "
                 "restart the stream from a fresh bootstrap"
+            )
+        from ..cdc.table import watermark_crossing_batches
+
+        crossers = watermark_crossing_batches(old.meta, new.meta, watermark)
+        if crossers:
+            # out-of-order / backfill commit inside the span: its rows
+            # sit at LSNs the watermark pruning skips — fail loudly
+            # (same hazard class and remedy as the restore gate)
+            raise ValueError(
+                f"stream span v{start_v}->v{end_v} (watermark LSN {watermark}) "
+                f"contains batch(es) {crossers} committed at or below the "
+                "watermark (out-of-order chunk / LSN-range backfill); an "
+                "LSN-watermark feed cannot represent them — restart the "
+                "stream from a fresh bootstrap"
             )
         old_sigs = {b: entry_signature(e) for b, e in old.meta["buckets"].items()}
         key_col = new.meta["key_col"]
@@ -302,10 +327,19 @@ class LakeFeedDataSource(DataSource):
         root = self.options.get("path")
         if not root:
             raise ValueError("lake_feed requires .option('path', <table root>)")
-        return feed_schema_of(LakeTable.load(root).schema())
+        t = LakeTable.load(root)
+        # remember which version the declared query schema came from so
+        # the stream reader (a separate load, possibly a separate
+        # process) pins the SAME snapshot — see LakeFeedStreamReader
+        self._pinned_version = t.version
+        return feed_schema_of(t.schema())
 
     def streamReader(self, schema) -> LakeFeedStreamReader:
-        return LakeFeedStreamReader(self.options)
+        opts = dict(self.options)
+        pv = getattr(self, "_pinned_version", None)
+        if pv is not None:
+            opts["pinnedVersion"] = str(pv)
+        return LakeFeedStreamReader(opts)
 
 
 def read_feed_stream(

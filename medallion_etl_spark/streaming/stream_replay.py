@@ -152,9 +152,13 @@ def stream_replay(
                 )
             clean, bad = split_malformed(batch_df, table.key_col)
             if on_malformed == "quarantine":
+                # dir carries the stream namespace for the same reason
+                # the batch id does: two checkpoints both restart
+                # epochs at 0, and un-namespaced epoch-0 dirs would
+                # overwrite each other's diverted rows
                 qdir = quarantine_dir or os.path.join(table.root, "_quarantine")
                 bad.write.mode("overwrite").parquet(
-                    os.path.join(qdir, f"epoch-{epoch_id}")
+                    os.path.join(qdir, f"epoch-{stream_namespace(checkpoint_dir)}-{epoch_id}")
                 )
                 totals["rows_quarantined"] += n_bad
             else:
@@ -170,25 +174,37 @@ def stream_replay(
             if on_violation == "quarantine":
                 qdir = quarantine_dir or os.path.join(table.root, "_quarantine")
                 violating.write.mode("overwrite").parquet(
-                    os.path.join(qdir, f"epoch-{epoch_id}-checks")
+                    os.path.join(qdir, f"epoch-{stream_namespace(checkpoint_dir)}-{epoch_id}-checks")
                 )
             totals["rows_violating"] += n_viol
             batch_df = passing
         if bounds["lo"] is None:
             return
-        res = apply_batch(
-            spark,
-            table,
-            batch_df,
-            batch_id=stream_batch_id(checkpoint_dir, epoch_id),
-            lsn_lo=int(bounds["lo"]),
-            lsn_hi=int(bounds["hi"]),
-            dedup_strategy=dedup_strategy,
-            n_salts=n_salts,
-            merge_path=merge_path,
-            write_mode=write_mode,
-            mor_max_deltas=mor_max_deltas,
-        )
+        # concurrent-commit resilience, mirroring the batch replayer: a
+        # maintenance commit (compact/rebucket/DDL/clone registration)
+        # landing between this epoch's load and its commit raises the
+        # fork/rewind guard — reload and re-apply against the fresh
+        # base instead of failing the whole streaming query
+        for attempt in range(3):
+            try:
+                res = apply_batch(
+                    spark,
+                    table,
+                    batch_df,
+                    batch_id=stream_batch_id(checkpoint_dir, epoch_id),
+                    lsn_lo=int(bounds["lo"]),
+                    lsn_hi=int(bounds["hi"]),
+                    dedup_strategy=dedup_strategy,
+                    n_salts=n_salts,
+                    merge_path=merge_path,
+                    write_mode=write_mode,
+                    mor_max_deltas=mor_max_deltas,
+                )
+                break
+            except RuntimeError as exc:
+                if "fork/rewind" not in str(exc) or attempt == 2:
+                    raise
+                table = LakeTable.load(table_root)
         if res.get("skipped"):
             totals["epochs_skipped"] += 1
         else:
