@@ -28,6 +28,7 @@ so bucket pruning is always consistent with the data.
 from __future__ import annotations
 
 import json
+import re
 import os
 import time
 
@@ -398,7 +399,7 @@ class LakeTable:
     def schema(self) -> T.StructType:
         return self.schema_for(self.schema_version)
 
-    def add_column(self, name: str, dtype, *, spark: SparkSession | None = None) -> dict:
+    def add_column(self, name: str, dtype) -> dict:
         """``ALTER TABLE ADD COLUMN`` (nullable): declare schema version
         ``max+1`` = current schema + the new column, recorded in table
         metadata by one atomic commit. Old files stay as written and
@@ -447,14 +448,42 @@ class LakeTable:
             raise ValueError(f"cannot drop the key column {name!r}")
         if name not in fields:
             raise ValueError(f"no column {name!r} in schema v{self.schema_version}")
+        # a CHECK constraint referencing the column would make every
+        # later write fail to even RESOLVE its predicate — the table
+        # becomes un-writable until the constraint is dropped. Refuse
+        # up front (Delta refuses this DDL for the same reason). The
+        # word-boundary match can false-positive on a literal inside
+        # the predicate; the remedy is the same drop_constraint either
+        # way, so loud-and-conservative wins.
+        dependent = sorted(
+            cname
+            for cname, pred in self.constraints.items()
+            if re.search(rf"\b{re.escape(name)}\b", pred)
+        )
+        if dependent:
+            raise ValueError(
+                f"cannot drop column {name!r}: CHECK constraint(s) "
+                f"{dependent} reference it — drop_constraint first"
+            )
         new_sv = max(self.schemas) + 1
         new_schema = T.StructType([f for f in cur.fields if f.name != name])
         schemas = dict(self.meta.get("schemas") or {str(v): s.jsonValue() for v, s in DOCS_SCHEMAS.items()})
         schemas[str(new_sv)] = new_schema.jsonValue()
+        updates: dict = {"schemas": schemas}
+        clustering = self.meta.get("clustering")
+        if clustering and name in clustering.get("cols", []):
+            # keep the recorded layout spec truthful: a later rebucket
+            # re-applies it and must not sort on a dropped column
+            remaining = [c for c in clustering["cols"] if c != name]
+            updates["clustering"] = (
+                {**clustering, "cols": remaining}
+                if remaining
+                else {"kind": "key", "cols": [self.key_col]}
+            )
         self.commit(
             {}, set(), None,
             schema_version=new_sv,
-            meta_updates={"schemas": schemas},
+            meta_updates=updates,
         )
         return {"column": name, "schema_version": new_sv, "version": self.version}
 
@@ -760,6 +789,11 @@ class LakeTable:
             )
         watermark = old.max_committed_lsn()
         purge_lsn = int(self.meta.get("compaction_watermark_lsn", -1))
+        # a feed from the EMPTY snapshot (watermark -1: no batch ever
+        # committed) is the current live row set; purged tombstones are
+        # net-zero from empty, so nothing is actually missing
+        if watermark == -1 and not old.meta.get("committed_batches"):
+            purge_lsn = -1
         if watermark < purge_lsn and not allow_incomplete:
             raise ValueError(
                 f"change feed since version {since_version} (watermark LSN "
@@ -946,8 +980,10 @@ class LakeTable:
         difference between a metadata-sized read and a table scan."""
         if not keys:
             return self.read(spark, buckets=[], columns=columns)
+        key_field = next(f for f in self.schema().fields if f.name == self.key_col)
         key_df = spark.createDataFrame(
-            [(k,) for k in keys], T.StructType([T.StructField("_k", T.StringType(), True)])
+            [(k,) for k in keys],
+            T.StructType([T.StructField("_k", key_field.dataType, True)]),
         )
         buckets = [
             r["_b"]
@@ -1075,6 +1111,12 @@ class LakeTable:
             "_bucket", bucket_expr(self.key_col, new_n_buckets)
         )
         clustering = self.meta.get("clustering") or {"kind": "key", "cols": [self.key_col]}
+        live = {f.name for f in self.schema().fields}
+        if clustering.get("kind") == "zorder" and not set(clustering["cols"]) <= live:
+            # a column in the recorded spec no longer exists (pre-fix
+            # drop_column, or a hand-edited spec): a key sort keeps the
+            # rebucket usable; the next compact re-establishes layout
+            clustering = {"kind": "key", "cols": [self.key_col]}
         if clustering.get("kind") == "zorder":
             from .zorder import zvalue_col
 
@@ -1161,6 +1203,12 @@ class LakeTable:
         # version numbers restart at 0: a restore-guard watermark from
         # the source's numbering would block feeds in the clone's
         meta.pop("last_restore_commit", None)
+        # the SOURCE's clone registry is not the clone's: inheriting it
+        # would make the clone guard scan unrelated tables (and report
+        # phantom clones in detail()); the stale commit time would make
+        # load_as_of resolve timestamps from before the clone existed
+        meta.pop("clones", None)
+        meta["committed_at_unix"] = time.time()
         os.makedirs(os.path.join(dst_root, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(dst_root, "data"), exist_ok=True)
         clone = LakeTable(dst_root, meta)
@@ -1170,7 +1218,7 @@ class LakeTable:
         # the clone points at; bounded reload-and-retry absorbs commit
         # races with concurrent writers
         dst_abs = os.path.abspath(dst_root)
-        for _ in range(5):
+        for attempt in range(5):
             src = LakeTable.load(src_root)
             clones = list(src.meta.get("clones", []))
             if dst_abs in clones:
@@ -1179,10 +1227,22 @@ class LakeTable:
                 src.commit({}, set(), None, meta_updates={"clones": clones + [dst_abs]})
                 break
             except RuntimeError:
+                if attempt == 4:
+                    # an UNREGISTERED clone is silent data-loss bait:
+                    # the expire guard would never protect it. Fail
+                    # loudly; the clone dir itself is cheap to retry.
+                    raise RuntimeError(
+                        f"clone written to {dst_root} but its registration on "
+                        f"the source lost {attempt + 1} commit races; re-run "
+                        "clone_to (idempotent for the same destination) so "
+                        "retention can protect it"
+                    )
                 continue  # lost the race: reload and retry
         return clone
 
-    def expire_snapshots(self, *, keep_last: int = 1, force: bool = False) -> dict:
+    def expire_snapshots(
+        self, *, keep_last: int = 1, force: bool = False, grace_seconds: float = 3 * 86400
+    ) -> dict:
         """Storage reclamation (the Iceberg ``expire_snapshots`` /
         Delta VACUUM analog): drop metadata versions older than the
         newest ``keep_last`` and delete every data directory no
@@ -1194,9 +1254,13 @@ class LakeTable:
         retained versions; the change feed's ``since_version`` must
         stay within the retained window (same retention contract as
         Delta CDF). Driver-side metadata + filesystem work only; no
-        Spark job. Crash-safe: metadata documents are deleted LAST, so
-        an interrupted expiry never leaves a readable version pointing
-        at deleted data beyond what was already unreferenced.
+        Spark job. Crash-safe: expired metadata documents are deleted
+        FIRST, so an interrupted expiry leaves only orphan data dirs
+        (reclaimable by a re-run or ``remove_orphans``) — never a
+        loadable version pointing at deleted data. ``grace_seconds``
+        (default: the same 3-day window ``remove_orphans`` uses) skips
+        unreferenced dirs younger than the window — they may be an
+        in-flight writer's pre-commit output; tests pass 0.
 
         Clone guard: a dir a REGISTERED, still-existing shallow clone
         points at (see ``clone_to``) is never silently deleted — this
@@ -1241,10 +1305,15 @@ class LakeTable:
                 if rel not in referenced:
                     to_remove.append(rel)
 
+        # the clone registry comes from the on-disk HEAD metadata for
+        # the same reason the head version does: a clone registered
+        # after this handle loaded must still be protected
+        with open(os.path.join(md_dir, f"version-{head}.json")) as f:
+            head_meta = json.load(f)
         if not force and to_remove:
             src_abs = os.path.abspath(self.root)
             endangered: dict[str, list[str]] = {}
-            for croot in self.meta.get("clones", []):
+            for croot in head_meta.get("clones", []):
                 if not LakeTable.exists(croot):
                     continue  # clone deleted out from under us: nothing to protect
                 refs: set[str] = set()
@@ -1269,8 +1338,25 @@ class LakeTable:
         removed_dirs = []
         import shutil
 
+        # expired metadata documents go FIRST: after this point no
+        # load_version/load_as_of can resolve a snapshot whose data is
+        # about to disappear, so a crash mid-deletion leaves only
+        # harmless orphan dirs (a re-run or remove_orphans reclaims
+        # them) — never a readable version pointing at deleted data
+        for v in sorted(expired_versions):
+            os.remove(os.path.join(md_dir, f"version-{v}.json"))
+        # an unreferenced dir younger than the grace window may be an
+        # in-flight writer's pre-commit output (writes always precede
+        # the pointer swap) — the same mtime guard remove_orphans
+        # applies; deleting it would corrupt the writer's commit
+        now = time.time()
         for rel in to_remove:
             target = os.path.join(self.root, rel)
+            try:
+                if now - os.path.getmtime(target) < float(grace_seconds):
+                    continue
+            except OSError:
+                continue
             if os.path.isdir(target):
                 shutil.rmtree(target, ignore_errors=True)
             elif os.path.exists(target):  # write markers (_SUCCESS etc.)
@@ -1280,9 +1366,6 @@ class LakeTable:
             vpath = os.path.join(data_dir, vdir)
             if os.path.isdir(vpath) and not os.listdir(vpath):
                 os.rmdir(vpath)
-        # metadata last (see docstring)
-        for v in sorted(expired_versions):
-            os.remove(os.path.join(md_dir, f"version-{v}.json"))
         return {
             "retained_versions": sorted(retained_versions),
             "expired_versions": sorted(expired_versions),

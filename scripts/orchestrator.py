@@ -339,7 +339,9 @@ def cmd_expire(spark, args) -> dict:
     from medallion_etl_spark.cdc.table import LakeTable
 
     return LakeTable.load(_table_root(args.out)).expire_snapshots(
-        keep_last=int(args.keep_last), force=bool(args.force)
+        keep_last=int(args.keep_last),
+        force=bool(args.force),
+        grace_seconds=float(getattr(args, "grace_seconds", 3 * 86400)),
     )
 
 
@@ -493,6 +495,11 @@ def main() -> None:
         "--force",
         action="store_true",
         help="proceed even if a registered shallow clone would dangle",
+    )
+    p.add_argument(
+        "--grace-seconds",
+        default=str(3 * 86400),
+        help="skip unreferenced dirs younger than this (in-flight writer guard)",
     )
     p = sub.add_parser("add-column")
     p.add_argument("name")

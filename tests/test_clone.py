@@ -122,13 +122,13 @@ def test_source_expiry_refuses_to_dangle_registered_clone(spark, tmp_path, sourc
     src = _advance_source(spark, src, events)
     want = canon(clone.read(spark).toPandas())
     with pytest.raises(ValueError, match="shallow clone"):
-        src.expire_snapshots(keep_last=1)
+        src.expire_snapshots(keep_last=1, grace_seconds=0)
     # nothing was deleted: the clone still reads
     assert_frames_equal(
         LakeTable.load(clone.root).read(spark).toPandas(), want
     )
     # force overrides (accepting the dangle)
-    res = src.expire_snapshots(keep_last=1, force=True)
+    res = src.expire_snapshots(keep_last=1, force=True, grace_seconds=0)
     assert res["removed_dirs"]
 
 
@@ -141,7 +141,7 @@ def test_source_expiry_after_clone_self_containment(spark, tmp_path, source):
     # so the registered clone no longer blocks source retention
     LakeTable.load(clone.root).compact(spark, watermark_lsn=0)
     want = canon(LakeTable.load(clone.root).read(spark).toPandas())
-    res = src.expire_snapshots(keep_last=1)
+    res = src.expire_snapshots(keep_last=1, grace_seconds=0)
     assert res["removed_dirs"]
     assert_frames_equal(
         LakeTable.load(clone.root).read(spark).toPandas(), want

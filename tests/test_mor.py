@@ -165,7 +165,7 @@ def test_mor_lookup_expire_and_history(spark, tmp_path):
     hist = table.history()
     assert hist[-1]["batches_added"] == [1] and hist[-1]["buckets_changed"] > 0
     # expire to head only: delta dirs stay referenced, state intact
-    res = table.expire_snapshots(keep_last=1)
+    res = table.expire_snapshots(keep_last=1, grace_seconds=0)
     assert res["expired_versions"]
     table = LakeTable.load(table.root)
     assert _delta_counts(table)  # deltas survived expiry

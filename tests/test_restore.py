@@ -114,7 +114,7 @@ def test_restore_survives_snapshot_expiry(spark, replayed):
     table, _ = replayed
     want = LakeTable.load_version(table.root, 1).read(spark).toPandas()
     table.restore(1)
-    LakeTable.load(table.root).expire_snapshots(keep_last=1)
+    LakeTable.load(table.root).expire_snapshots(keep_last=1, grace_seconds=0)
     now = LakeTable.load(table.root)
     assert_frames_equal(now.read(spark).toPandas(), canon(want))
     with pytest.raises(ValueError, match="no snapshot"):

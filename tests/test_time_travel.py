@@ -154,7 +154,7 @@ def test_expire_snapshots_reclaims_unreferenced_data(spark, replayed):
 
     table, _ = replayed
     before_state = sorted(tuple(r) for r in table.read(spark).collect())
-    res = table.expire_snapshots(keep_last=2)
+    res = table.expire_snapshots(keep_last=2, grace_seconds=0)
     assert res["expired_versions"] == [0, 1]
     assert res["retained_versions"] == [2, 3]
     assert len(res["removed_dirs"]) > 0
@@ -170,7 +170,7 @@ def test_expire_snapshots_reclaims_unreferenced_data(spark, replayed):
         LakeTable.load_version(table.root, 1)
 
     # idempotent: a second expiry has nothing left to remove
-    res2 = table.expire_snapshots(keep_last=2)
+    res2 = table.expire_snapshots(keep_last=2, grace_seconds=0)
     assert res2["removed_dirs"] == [] and res2["expired_versions"] == []
 
 
@@ -326,7 +326,7 @@ def test_history_marks_post_expiry_baseline(spark, replayed):
     predecessor: history() must report it as a baseline (diff
     unknowable), never as a commit that added all prior batches."""
     table, _ = replayed
-    table.expire_snapshots(keep_last=2)
+    table.expire_snapshots(keep_last=2, grace_seconds=0)
     hist = LakeTable.load(table.root).history()
     assert [h["version"] for h in hist] == [2, 3]
     assert hist[0]["baseline"] is True
