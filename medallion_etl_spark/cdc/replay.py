@@ -56,8 +56,11 @@ def replay(
     {I,U,D} — the count rides the upfront stats job, no extra scan;
     'quarantine' writes the bad rows (+ ``_reason``) to
     ``<quarantine_dir or <table>/_quarantine>/range-LO-HI``
-    (overwritten on redelivery so resume stays idempotent) and replays
-    the rest; 'drop' replays the rest and reports the count. Chunk
+    (overwritten on redelivery so resume stays idempotent), except
+    NULL-lsn rows, which land in the fixed sibling ``range-null`` dir
+    (they re-enter scope on every resume; a window-keyed dir would
+    duplicate them across dirs), and replays the rest; 'drop' replays
+    the rest and reports the count. Chunk
     PLANNING always uses the raw stream's LSN bounds, so the chunk ids
     a quarantining replay commits are identical to what a clean replay
     of the same range would commit (a chunk whose events were all bad
@@ -103,6 +106,7 @@ def replay(
     rows_quarantined = 0
     rows_dropped = 0
     quarantine_path = None
+    quarantine_null_path = None
     if on_malformed != "fail" and todo:
         clean, bad = split_malformed(events, table.key_col)
         n_bad = bad.count()
@@ -113,11 +117,25 @@ def replay(
                 # constraint-violation datasets must be SIBLINGS, never
                 # one parquet dataset nested inside another (partition
                 # discovery over the parent would fail or conflate them)
-                quarantine_path = os.path.join(
-                    quarantine_dir or os.path.join(table.root, "_quarantine"),
-                    f"range-{pend_lo}-{pend_hi}",
-                )
-                bad.write.mode("overwrite").parquet(quarantine_path)
+                qroot = quarantine_dir or os.path.join(table.root, "_quarantine")
+                # NULL-lsn rows stay in scope on every resume (they
+                # have no LSN home), so keying their dir by the pending
+                # window would re-divert the SAME rows under a new
+                # range-LO-HI dir per run and double-count them in any
+                # discovery scan over _quarantine/*. They get ONE fixed
+                # dir ('range-null'), overwritten each run; only
+                # LSN-ranged rows land under the per-window dir.
+                null_lsn = bad.filter(F.col("lsn").isNull())
+                ranged = bad.filter(F.col("lsn").isNotNull())
+                n_null = null_lsn.count()
+                if n_null:
+                    quarantine_null_path = os.path.join(qroot, "range-null")
+                    null_lsn.write.mode("overwrite").parquet(quarantine_null_path)
+                if n_bad - n_null:
+                    quarantine_path = os.path.join(
+                        qroot, f"range-{pend_lo}-{pend_hi}"
+                    )
+                    ranged.write.mode("overwrite").parquet(quarantine_path)
                 rows_quarantined = n_bad
             else:
                 rows_dropped = n_bad
@@ -286,7 +304,10 @@ def replay(
     }
     if rows_quarantined:
         out["rows_quarantined"] = rows_quarantined
-        out["quarantine_path"] = quarantine_path
+        if quarantine_path:
+            out["quarantine_path"] = quarantine_path
+        if quarantine_null_path:
+            out["quarantine_null_path"] = quarantine_null_path
     if rows_dropped:
         out["rows_dropped"] = rows_dropped
     if rows_violating:

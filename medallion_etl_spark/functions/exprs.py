@@ -74,25 +74,24 @@ def split_part(col, delim: str, n: int) -> Column:
 
 def md5_bucket(col, mod: int) -> Column:
     """Deterministic 0..mod-1 bucket from a string column: ascii
-    polynomial ((a*31+b)*31+c) over the first 3 md5 hex chars. The ONE
+    polynomial (((a*31+b)*31+c)*31+d)*31+e over the first 5 md5 hex
+    chars (16^5 ≈ 1.05M distinct fold values, so the output space
+    covers any mod we use — VOCAB_SIZE=32768 included). The ONE
     definition of this cross-engine hash — md5_bucket_sql is its DuckDB
     twin; keep them in lockstep (oracle pairing depends on it). Salt by
     concatenating into the input ('<salt>|' + value), not by changing
     the fold."""
     h = F.md5(F.encode(col, "UTF-8"))
-    return (
-        (
-            (F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))) * 31
-            + F.ascii(F.substring(h, 3, 1))
-        )
-        % mod
-    ).cast("int")
+    acc = F.ascii(F.substring(h, 1, 1))
+    for i in range(2, 6):
+        acc = acc * 31 + F.ascii(F.substring(h, i, 1))
+    return (acc % mod).cast("int")
 
 
 def md5_bucket_sql(expr: str, mod: int) -> str:
     """DuckDB twin of md5_bucket over an SQL expression string."""
     h = f"md5({expr})"
-    return (
-        f"CAST(((ascii(substring({h}, 1, 1)) * 31 + ascii(substring({h}, 2, 1))) * 31"
-        f" + ascii(substring({h}, 3, 1))) % {mod} AS INT)"
-    )
+    acc = f"ascii(substring({h}, 1, 1))"
+    for i in range(2, 6):
+        acc = f"({acc} * 31 + ascii(substring({h}, {i}, 1)))"
+    return f"CAST({acc} % {mod} AS INT)"

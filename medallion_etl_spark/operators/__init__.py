@@ -57,4 +57,81 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         multimodal,
     ):
         out.update(mod.QUERIES)
-    return out
+    missing = [n for n in DRIVER_WINDOW if n not in out]
+    if missing:
+        raise RuntimeError(f"DRIVER_WINDOW names unknown queries: {missing}")
+    ordered = {n: out[n] for n in DRIVER_WINDOW}
+    ordered.update({n: v for n, v in out.items() if n not in ordered})
+    return ordered
+
+
+# The round driver gates only the FIRST 50 ``queries()`` entries in
+# insertion order (confirmed against CORRECTNESS_r03.json — exactly
+# list(queries())[:50]). This list pins the window deliberately instead
+# of leaving it to module-update order: operators that have never had a
+# driver-green row come first, then this round's changed/new queries,
+# then the CDC flagship family, then a rotation of the §2 stable set.
+# Entries past the window all have ≥3 green driver rows from rounds
+# 1-3 (see CORRECTNESS_r0{1,2,3}.json). Keep len == 50 and update the
+# rotation each round; tests/test_driver_contract_window.py pins the
+# invariants.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # never driver-checked before round 4 (VERDICT r3 task 1)
+    "near_dup_clusters",
+    "cdc_incremental_signatures",
+    "curated_training_mix",
+    "ann_ivf_topk",
+    "kmv_distinct_users",
+    "hll_distinct_users",
+    "cms_word_counts",
+    "asof_attribution",
+    "view_purchase_range_join",
+    "user_sessions",
+    "scd2_user_type",
+    "packed_sequences",
+    # r2-green only — rotate back in for a second green row
+    "simhash_clusters",
+    "embedding_near_dup_pairs",
+    "ann_topk_bruteforce",
+    "ann_lsh_topk",
+    "embedding_centroid_distance",
+    "multimodal_meta",
+    # red in r03 (driver canonicalizer); compared column now a string
+    "tokenize_documents",
+    # new r4 composition flagships (table format x training-data ops)
+    "sig_rebootstrap_after_restore",
+    "curated_mix_over_mor_corpus",
+    # CDC flagship family — the tier's core, stays visible every round
+    "cdc_replay_latest_state",
+    "cdc_replay_mor_state",
+    "cdc_change_feed",
+    "cdc_dml_state",
+    "cdc_constrained_replay",
+    "cdc_merge_into_state",
+    "cdc_convert_documents",
+    "cdc_restore_reconverge",
+    "cdc_schema_evolution_state",
+    "incremental_gold_by_source",
+    # touched this round (md5_bucket widened / broadcast hygiene)
+    "coverage_two_level",
+    "doc_repetition_stats",
+    "vocab_top_words",
+    "training_mix_sample",
+    # r3-first-green set — second green row
+    "cobertura_vendedor_marca",
+    "cobertura_sucursal_marca",
+    "cobertura_vendedor_generico",
+    "cobertura_sucursal_generico",
+    "cobertura_sucursal_aguas",
+    "doc_length_percentiles",
+    "decontaminate_against_benchmark",
+    # stable rotation (all ≥2 green rounds)
+    "hectolitros_measure",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "lang_id_ngram",
+    "doc_fingerprint",
+    "exact_dedup_docs",
+    "ngram_jaccard_topk",
+    "minhash_near_dup_pairs",
+)

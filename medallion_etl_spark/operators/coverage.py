@@ -60,6 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exprs import dsum, dsum_sql
+from .util import broadcast_if_small
 from ..sources.readers import load_table as T
 
 # --------------------------------------------------------------------------
@@ -89,7 +90,7 @@ def hectolitros_measure(spark: SparkSession, sf: str) -> DataFrame:
     factors = _factor_dim(spark, sf)
     htls = F.col("l_quantity") * F.col("factor_htls")  # NULL factor -> NULL
     return (
-        li.join(F.broadcast(factors), li.l_partkey == factors.f_partkey, "left")
+        li.join(broadcast_if_small(factors), li.l_partkey == factors.f_partkey, "left")
         .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("periodo"))
         .agg(
             dsum(htls, "cantidad_total_htls"),
@@ -169,9 +170,9 @@ def coverage_inner_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.v_suppkey)
+        .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
+        .join(broadcast_if_small(sup), li.l_suppkey == sup.v_suppkey)
         .join(F.broadcast(nat), c.c_nationkey == nat.nk)
         .groupBy(
             F.date_trunc("month", F.col("o_orderdate")).alias("periodo"),

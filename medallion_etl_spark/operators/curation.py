@@ -65,7 +65,13 @@ def _quality(col: str = "text") -> F.Column:
 
 
 def curated_training_mix(spark: SparkSession, sf: str) -> DataFrame:
-    docs = spread(spark, T(spark, sf, "documents"))
+    return _curate(spread(spark, T(spark, sf, "documents")))
+
+
+def _curate(docs: DataFrame) -> DataFrame:
+    """The funnel over any docs-shaped frame (doc_id:int, text,
+    n_chars, source) — raw parquet for the standalone query, a
+    MOR-merged LakeTable read for the composition flagship below."""
     is_bench = F.col("doc_id") % 20 == 0
 
     # 1. quality gate (scan-level expression filter)
@@ -173,6 +179,92 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Composition flagship: the SAME funnel over a corpus that lives in the
+# engine's own table format and was maintained MERGE-ON-READ — two CDC
+# batches (an insert wave of placeholder rows, then an update wave
+# rewriting EVERY row to its real content) applied with
+# write_mode='mor' and compaction disabled, so the read path must
+# LWW-merge base + delta files per bucket to see the right text. Every
+# row's funnel fate depends on that merge: if MOR reads leaked
+# placeholder rows the quality gate, dedup digests, shingles and mix
+# buckets would all diverge from the oracle (which reads the raw
+# parquet). Green here = the table-format layer and the training-data
+# ops compose.
+
+_MOR_DOC_ROOTS: dict[str, str] = {}
+
+
+def curated_mix_over_mor_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from pyspark.sql import types as T_
+
+    from ..cdc.apply import apply_batch
+    from ..cdc.table import LakeTable
+    from .cdc_query import _scratch_dir
+
+    schema = T_.StructType(
+        [
+            T_.StructField("doc_id", T_.StringType(), False),
+            T_.StructField("orig_id", T_.LongType(), True),
+            T_.StructField("text", T_.StringType(), True),
+            T_.StructField("lang", T_.StringType(), True),
+            T_.StructField("source", T_.StringType(), True),
+            T_.StructField("n_chars", T_.LongType(), True),
+        ]
+    )
+    cached = _MOR_DOC_ROOTS.get(sf)
+    if cached is None or not LakeTable.exists(cached):
+        docs = T(spark, sf, "documents")
+        n = int(docs.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+        tmp = _scratch_dir("curation_mor", sf)
+        shutil.rmtree(tmp, ignore_errors=True)
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        root = f"{tmp}/docs"
+        table = LakeTable.create(root, n_buckets=8, schemas={1: schema})
+
+        def wave(lsn_base: int, placeholder: bool) -> DataFrame:
+            return docs.select(
+                (F.col("doc_id") + F.lit(lsn_base)).cast("long").alias("lsn"),
+                F.lit("U").alias("op"),
+                F.concat(F.lit("d"), F.col("doc_id")).alias("doc_id"),
+                F.col("doc_id").cast("long").alias("orig_id"),
+                (
+                    F.lit("zz placeholder zz") if placeholder else F.col("text")
+                ).alias("text"),
+                "lang",
+                (F.lit("bogus") if placeholder else F.col("source")).alias("source"),
+                (
+                    F.lit(17).cast("long") if placeholder else F.col("n_chars")
+                ).alias("n_chars"),
+                F.lit(1).alias("schema_version"),
+            )
+
+        apply_batch(
+            spark, table, wave(1, True), batch_id=1, lsn_lo=1, lsn_hi=n,
+            write_mode="mor", mor_max_deltas=1_000_000,
+        )
+        apply_batch(
+            spark, LakeTable.load(root), wave(n + 1, False),
+            batch_id=2, lsn_lo=n + 1, lsn_hi=2 * n,
+            write_mode="mor", mor_max_deltas=1_000_000,
+        )
+        _MOR_DOC_ROOTS[sf] = root
+    merged = LakeTable.load(_MOR_DOC_ROOTS[sf]).read(spark)
+    docs_shaped = merged.select(
+        F.col("orig_id").alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return _curate(spread(spark, docs_shaped))
+
+
 QUERIES = {
     "curated_training_mix": (curated_training_mix, CURATED_TRAINING_MIX_SQL),
+    # identical oracle on purpose: the MOR-maintained corpus must read
+    # back as exactly the raw documents table
+    "curated_mix_over_mor_corpus": (
+        curated_mix_over_mor_corpus,
+        CURATED_TRAINING_MIX_SQL,
+    ),
 }

@@ -284,9 +284,102 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Composition flagship: the documented HARDEST maintenance case — a
+# corpus RESTORE invalidates the derived table (restored rows carry
+# pre-restore LSNs, so LWW can never revert the stale higher-LSN
+# signatures). The correct sequence, exercised end-to-end here exactly
+# as scripts/orchestrator.py's --rebootstrap ships it:
+#
+#   replay span 1 -> refresh        (normal feed maintenance)
+#   replay span 2 -> refresh
+#   RESTORE corpus to the mid snapshot
+#   refresh                         -> MUST refuse (feed restore gate)
+#   rebootstrap: build-aside + atomic swap from the restored snapshot
+#   resume the tail (undone chunks pending again) -> feed refresh
+#
+# The final signatures must equal the plain full-stream oracle: the
+# restore/rebootstrap detour loses and invents nothing. This is the
+# green row proving the table-format layer (restore, feed gates,
+# manifest rollback) and the derived-table maintenance compose.
+
+_SIG_RESTORE_ROOTS: dict[str, str] = {}
+
+
+def sig_rebootstrap_after_restore(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+
+    from ..cdc.replay import replay
+    from ..sources.readers import load_table as T
+    from .cdc_query import _as_change_stream, _scratch_dir
+
+    cached = _SIG_RESTORE_ROOTS.get(sf)
+    if cached is None or not LakeTable.exists(cached):
+        events = T(spark, sf, "events")
+        stream = _as_change_stream(events)
+        n = events.agg(F.max("event_id")).collect()[0][0] or 0
+        tmp = _scratch_dir("cdc_sig_restore", sf)
+        shutil.rmtree(tmp, ignore_errors=True)
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        corpus = LakeTable.create(f"{tmp}/corpus", n_buckets=8, schema_version=2)
+        sig_root = f"{tmp}/sig"
+        sig = create_signature_table(sig_root, n_buckets=8)
+        chunk = max(int(n) // 2, 1)
+        replay(spark, stream, corpus, chunk_size=chunk, max_batches=1)
+        corpus = LakeTable.load(f"{tmp}/corpus")
+        v_mid = corpus.version
+        refresh_signatures(spark, corpus, sig, since_version=0)
+        replay(spark, stream, corpus, chunk_size=chunk)  # the tail
+        corpus = LakeTable.load(f"{tmp}/corpus")
+        v_full = corpus.version
+        refresh_signatures(
+            spark, corpus, LakeTable.load(sig_root), since_version=v_mid
+        )
+        # RESTORE rolls data AND manifest back to the mid snapshot; the
+        # signature table now holds stale higher-LSN rows no feed
+        # refresh can revert — the gate must refuse the span
+        corpus.restore(v_mid)
+        corpus = LakeTable.load(f"{tmp}/corpus")
+        v_restored = corpus.version
+        try:
+            refresh_signatures(
+                spark, corpus, LakeTable.load(sig_root), since_version=v_full
+            )
+            raise AssertionError("feed refresh across a RESTORE must refuse")
+        except ValueError:
+            pass
+        # build-aside + swap (orchestrator --rebootstrap, verbatim)
+        rebuild = f"{sig_root}.rebuild"
+        shutil.rmtree(rebuild, ignore_errors=True)
+        new_sig = create_signature_table(rebuild, n_buckets=8)
+        bootstrap_signatures(spark, corpus, new_sig)
+        shutil.rmtree(sig_root)
+        os.rename(rebuild, sig_root)
+        # resume: the restore made the tail chunks pending again
+        replay(spark, stream, LakeTable.load(f"{tmp}/corpus"), chunk_size=chunk)
+        corpus = LakeTable.load(f"{tmp}/corpus")
+        refresh_signatures(
+            spark, corpus, LakeTable.load(sig_root), since_version=v_restored
+        )
+        _SIG_RESTORE_ROOTS[sf] = sig_root
+    final = LakeTable.load(_SIG_RESTORE_ROOTS[sf]).read(spark)
+    return final.select(
+        "doc_id",
+        *[F.element_at("mh", i + 1).alias(f"mh_{i}") for i in range(N_HASHES)],
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "cdc_incremental_signatures": (
         cdc_incremental_signatures,
+        CDC_INCREMENTAL_SIGNATURES_SQL,
+    ),
+    # identical oracle on purpose: the restore/rebootstrap detour must
+    # land on the same full-stream LWW signatures
+    "sig_rebootstrap_after_restore": (
+        sig_rebootstrap_after_restore,
         CDC_INCREMENTAL_SIGNATURES_SQL,
     ),
 }
@@ -326,7 +419,6 @@ def stream_refresh_signatures(
         ).collect()[0]
         if bounds["lo"] is None:
             return
-        sig = LakeTable.load(sig_root)  # fresh handle per epoch
         is_del = F.col("_change_type") == "delete"
         events = batch_df.select(
             F.col("_lsn").alias("lsn"),
@@ -337,15 +429,27 @@ def stream_refresh_signatures(
             .alias("mh"),
             F.lit(1).alias("schema_version"),
         )
-        out = apply_batch(
-            spark,
-            sig,
-            events,
-            batch_id=stream_batch_id(checkpoint_dir, epoch_id),
-            lsn_lo=int(bounds["lo"]),
-            lsn_hi=int(bounds["hi"]),
-            skip_empty_commit=True,
-        )
+        # concurrent-commit resilience (same loop as
+        # stream_replay.apply_epoch): a batch refresh or maintenance
+        # commit on the signature table landing between this epoch's
+        # load and its commit raises the fork/rewind guard — reload a
+        # fresh handle and re-apply instead of failing the whole drain.
+        for attempt in range(3):
+            sig = LakeTable.load(sig_root)  # fresh handle per attempt
+            try:
+                out = apply_batch(
+                    spark,
+                    sig,
+                    events,
+                    batch_id=stream_batch_id(checkpoint_dir, epoch_id),
+                    lsn_lo=int(bounds["lo"]),
+                    lsn_hi=int(bounds["hi"]),
+                    skip_empty_commit=True,
+                )
+                break
+            except RuntimeError as exc:
+                if "fork/rewind" not in str(exc) or attempt == 2:
+                    raise
         if not out.get("skipped"):
             totals["epochs"] += 1
             totals["rows_applied"] += int(out.get("rows_applied", 0))

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exprs import davg, davg_sql, dsum, dsum_sql, safe_cast, split_part
 from ..sources.readers import load_table as T
+from .util import broadcast_if_small
 
 # --------------------------------------------------------------------------
 # A1/A7 + P12: hash aggregate with exact measures (reference
@@ -71,7 +72,7 @@ def top_revenue_parts(spark: SparkSession, sf: str) -> DataFrame:
     part = T(spark, sf, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(broadcast_if_small(part), li.l_partkey == part.p_partkey)
         .groupBy("p_partkey", "p_name", "p_brand")
         .agg(dsum(rev, "revenue"), dsum("l_quantity", "total_qty"))
         .orderBy(F.col("revenue").desc(), "p_partkey")
@@ -134,7 +135,7 @@ def coverage_two_level(spark: SparkSession, sf: str) -> DataFrame:
     signed_qty = F.col("l_quantity") * F.when(F.col("l_returnflag") == "R", -1).otherwise(1)
     inner = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .groupBy(
             F.date_trunc("month", F.col("o_orderdate")).alias("periodo"),
             F.col("c_nationkey").alias("nation_key"),
@@ -515,7 +516,7 @@ def top3_parts_per_brand(spark: SparkSession, sf: str) -> DataFrame:
     part = T(spark, sf, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_part = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(broadcast_if_small(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_partkey", "p_name")
         .agg(dsum(rev, "revenue"))
     )
@@ -551,7 +552,7 @@ def avg_ticket_per_segment(spark: SparkSession, sf: str) -> DataFrame:
     c = T(spark, sf, "customer")
     o = T(spark, sf, "orders")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             davg("o_totalprice", "ticket_promedio"),
@@ -687,7 +688,7 @@ def rollup_orders_by_nation_segment(spark: SparkSession, sf: str) -> DataFrame:
     o = T(spark, sf, "orders")
     c = T(spark, sf, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .rollup("c_nationkey", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -183,7 +183,12 @@ def _token_id(w: F.Column) -> F.Column:
     return md5_bucket(w, VOCAB_SIZE)
 
 
-def tokenize_documents(spark: SparkSession, sf: str) -> DataFrame:
+def tokenize_documents_raw(spark: SparkSession, sf: str) -> DataFrame:
+    """The engine-shape output: raw ``tokens array<int>``. Kept for
+    pytest token-array equality (the north_star invariant); the
+    driver-paired query below emits the same ids joined to a string
+    because the driver's pandas canonicalizer cannot sort a raw list
+    column (r03's one red row)."""
     docs = spread(spark, T(spark, sf, "documents"))
     words = F.filter(F.split(F.lower("text"), " "), lambda w: F.length(w) > 0)
     tokens = F.transform(words, _token_id)
@@ -195,13 +200,23 @@ def tokenize_documents(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def tokenize_documents(spark: SparkSession, sf: str) -> DataFrame:
+    raw = tokenize_documents_raw(spark, sf)
+    return raw.select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("tokens_str"),
+        "n_tok",
+        "source",
+    ).orderBy("doc_id")
+
+
 _TOKEN_ID_SQL = md5_bucket_sql("w", VOCAB_SIZE)
 
 TOKENIZE_DOCUMENTS_SQL = f"""
 SELECT doc_id,
-       list_transform(list_filter(string_split(lower(text), ' '),
-                                  w -> length(w) > 0),
-                      w -> {_TOKEN_ID_SQL}) AS tokens,
+       array_to_string(list_transform(list_filter(string_split(lower(text), ' '),
+                                                  w -> length(w) > 0),
+                                      w -> {_TOKEN_ID_SQL}), ' ') AS tokens_str,
        CAST(len(list_filter(string_split(lower(text), ' '),
                             w -> length(w) > 0)) AS INT) AS n_tok,
        source

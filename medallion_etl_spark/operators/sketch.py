@@ -14,9 +14,10 @@ merged ALL row):
   exactly how a 100 TB rollup tree folds partial sketches upward.
 - ``hll_distinct_users``: the production path — Spark 4's built-in
   Apache DataSketches HLL (``hll_sketch_agg``), a binary, mergeable
-  sketch column. Estimates are library-specific so no cross-engine
-  oracle exists (the driver records a rows-only check); accuracy is
-  pinned by pytest against exact counts instead.
+  sketch column. Raw estimates are library-specific, so the oracle
+  compares group keys + exact counts + a deterministic within-5%
+  boolean (DuckDB emits literal TRUE); the tight accuracy bound is
+  pinned by pytest against exact counts.
 
 Scale shape (KMV): the shuffle carries (group, 32-char digest) pairs
 only — distinct-reduced map-side by the partial aggregate Spark plans
@@ -139,25 +140,62 @@ ORDER BY source
 def hll_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     """Production sketch path: DataSketches HLL per group, merged via
     ``hll_union_agg`` for the ALL row — binary sketches a rollup tree
-    folds without touching raw data. No cross-engine oracle (estimates
-    are library-specific); accuracy pinned in tests/test_sketch.py."""
+    folds without touching raw data. The raw estimate is
+    library-specific, so the ORACLE-compared columns are the group
+    keys, the exact distinct count, and ``hll_ok`` — the deterministic
+    within-5% check (lgK=12 HLL has ~1.6% RSE; the tight bound is
+    pinned in tests/test_sketch.py). DuckDB's side is the exact count
+    plus a literal TRUE, so a drifting estimate turns the row red."""
     ev = T(spark, sf, "events").select(
         F.col("event_type").alias("source"), F.col("user_id")
     )
-    per = ev.groupBy("source").agg(F.hll_sketch_agg("user_id").alias("sk"))
-    merged = per.agg(
-        F.lit("__ALL__").alias("source"), F.hll_union_agg("sk").alias("sk")
+    per = ev.groupBy("source").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_distinct"),
     )
+    merged = per.agg(
+        F.lit("__ALL__").alias("source"),
+        F.hll_union_agg("sk").alias("sk"),
+        F.lit(None).cast("long").alias("exact_distinct"),
+    )
+    all_exact = ev.agg(F.count_distinct("user_id").alias("e"))
+    merged = merged.crossJoin(F.broadcast(all_exact)).select(
+        "source", "sk", F.col("e").alias("exact_distinct")
+    )
+    est = F.hll_sketch_estimate("sk")
     return (
         per.unionByName(merged)
-        .select("source", F.hll_sketch_estimate("sk").alias("hll_estimate"))
+        .select(
+            "source",
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            (
+                F.abs(est - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("hll_ok"),
+        )
         .orderBy("source")
     )
 
 
+HLL_DISTINCT_USERS_SQL = """
+WITH per AS (
+  SELECT event_type AS source, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+),
+allrow AS (
+  SELECT '__ALL__' AS source, count(DISTINCT user_id) AS exact_distinct
+  FROM events
+)
+SELECT source, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       TRUE AS hll_ok
+FROM (SELECT * FROM per UNION ALL SELECT * FROM allrow)
+ORDER BY source
+"""
+
+
 QUERIES = {
     "kmv_distinct_users": (kmv_distinct_users, KMV_DISTINCT_USERS_SQL),
-    "hll_distinct_users": (hll_distinct_users, None),
+    "hll_distinct_users": (hll_distinct_users, HLL_DISTINCT_USERS_SQL),
 }
 
 

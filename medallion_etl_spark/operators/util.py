@@ -3,6 +3,31 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def broadcast_if_small(df: DataFrame) -> DataFrame:
+    """``F.broadcast(df)`` only when Catalyst's own size estimate is at
+    or under the session's autoBroadcastJoinThreshold, else ``df``
+    unchanged (AQE picks the strategy from runtime stats).
+
+    This is the 100x-safe spelling of a broadcast hint on a table that
+    SCALES WITH THE CORPUS (customer/part/supplier grow with SF; at
+    1000 executors x 100 TB a forced broadcast of one of them OOMs the
+    driver). True fixed-size dims (nation=25, region=5, a calendar,
+    a query/centroid set) keep their unconditional hint — their size is
+    a property of the schema, not the data volume. The estimate is the
+    optimizer's sizeInBytes on the driver: metadata-only, no job."""
+    spark = df.sparkSession
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    jvm = spark._jvm
+    thresh_bytes = int(
+        jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(str(thresh))
+    )
+    if thresh_bytes < 0:  # broadcast disabled for the session
+        return df
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    return F.broadcast(df) if est <= thresh_bytes else df
 
 
 def spread(spark: SparkSession, df: DataFrame) -> DataFrame:

@@ -124,7 +124,11 @@ class LakeFeedStreamReader(DataSourceStreamReader):
                 if pv is not None
                 else LakeTable.load(self.root)
             )
-        except FileNotFoundError:
+        except (FileNotFoundError, ValueError):
+            # load_version raises ValueError ("no snapshot ...") when the
+            # version file is gone (expired between schema() pin and
+            # reader init), not FileNotFoundError — catch both so the
+            # documented fall-back-to-HEAD actually triggers.
             t = LakeTable.load(self.root)
         self.target_sv = t.schema_version
         self.schemas_json = {v: st.jsonValue() for v, st in t.schemas.items()}

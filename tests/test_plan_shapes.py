@@ -52,6 +52,32 @@ def test_dim_joins_are_broadcast(spark, sf_small):
     assert "SortMergeJoin" not in p
 
 
+def test_broadcast_hint_is_size_gated_for_scaling_tables(spark, sf_small):
+    """Tables that grow with the corpus (customer/part/supplier) get
+    their broadcast hint through broadcast_if_small: at test scale the
+    estimate is under the threshold (hint applies, plan unchanged);
+    with the threshold floored, the hint must disappear — the query is
+    the same formulation a 100x run would use, AQE picking SMJ."""
+    from medallion_etl_spark.operators.medallion import coverage_two_level
+    from medallion_etl_spark.operators.util import broadcast_if_small
+
+    df = load_table(spark, sf_small, "customer")
+    hinted = broadcast_if_small(df)
+    assert "UnresolvedHint broadcast" in hinted._jdf.queryExecution().logical().toString()
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        unhinted = broadcast_if_small(df)
+        assert "Hint" not in unhinted._jdf.queryExecution().logical().toString()
+        # the pinned query still plans (broadcast OR SMJ on customer,
+        # either is contract-legal) and keeps its fact-side SMJ shape
+        p = plan(coverage_two_level(spark, sf_small))
+        assert "Join" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_fact_dim_join_broadcast_and_topk(spark, sf_small):
     p = plan(top_revenue_parts(spark, sf_small))
     assert "BroadcastHashJoin" in p

@@ -86,10 +86,17 @@ def test_quarantine_diverts_and_matches_clean_replay(spark, tmp_path, streams):
     # commits as an empty batch, so resume never re-reads it
     assert res["batches_applied"] == res["planned_chunks"]
 
-    # quarantined rows carry their reason; nothing was lost or invented
+    # quarantined rows carry their reason; nothing was lost or
+    # invented. NULL-lsn rows live in the FIXED range-null sibling dir
+    # (they stay in scope every resume; a window-keyed dir would
+    # duplicate them), LSN-ranged rows under the per-window dir.
     qdf = spark.read.parquet(res["quarantine_path"])
     reasons = {r["_reason"]: r["cnt"] for r in qdf.groupBy("_reason").agg(F.count("*").alias("cnt")).collect()}
-    assert reasons == {"null_key": 2, "null_lsn": 2, "bad_op": 2}
+    assert reasons == {"null_key": 2, "bad_op": 2}
+    assert res["quarantine_null_path"].endswith("range-null")
+    qnull = spark.read.parquet(res["quarantine_null_path"])
+    assert {r["_reason"] for r in qnull.select("_reason").collect()} == {"null_lsn"}
+    assert qnull.count() == 2
 
     # table state is exactly the clean stream's replay
     expected = expected_final_state(spark.read.parquet(clean_path).toPandas())
@@ -105,7 +112,17 @@ def test_quarantine_diverts_and_matches_clean_replay(spark, tmp_path, streams):
     )
     assert res2["batches_applied"] == 0
     assert "rows_quarantined" not in res2
-    assert spark.read.parquet(res["quarantine_path"]).count() == n_bad
+    assert spark.read.parquet(res["quarantine_path"]).count() == n_bad - 2
+    # a discovery scan over the whole quarantine root counts each bad
+    # row exactly once (the NULL-lsn dir is fixed, not window-keyed)
+    qroot = os.path.join(table.root, "_quarantine")
+    assert sorted(os.listdir(qroot)) == sorted(
+        [os.path.basename(res["quarantine_path"]), "range-null"]
+    )
+    total = sum(
+        spark.read.parquet(os.path.join(qroot, d)).count() for d in os.listdir(qroot)
+    )
+    assert total == n_bad
 
 
 def test_drop_mode_counts_and_matches(spark, tmp_path, streams):
