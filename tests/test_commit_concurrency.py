@@ -138,3 +138,116 @@ def test_racing_mor_and_cow_replayers_converge(spark, tmp_path):
     got = sorted(tuple(r) for r in final.read(spark).collect())
     want = sorted(tuple(r) for r in LakeTable.load(clean_root).read(spark).collect())
     assert got == want
+
+
+def test_replay_recomputes_stats_after_concurrent_rebucket(spark, tmp_path):
+    """The documented silent-data-loss scenario, end-to-end: a
+    rebucket() commits between a replay's upfront stats pass and its
+    chunk commits. The stale handle's precomputed _bucket ids address
+    the OLD layout — without the layout guard (apply.py) + recompute
+    (replay.py) the merge would replace new-layout buckets built from a
+    PARTIAL base and silently drop the unread keys of every replaced
+    bucket. The fork/rewind retry must reload, see n_buckets changed,
+    recompute the stats, and land on exactly the clean-replay state."""
+    from medallion_etl_spark.cdc.replay import replay
+    from medallion_etl_spark.synth import gen_events
+
+    root = str(tmp_path / "t")
+    LakeTable.create(root, n_buckets=8)
+    events = gen_events(spark, n_events=4_000, n_keys=300).cache()
+    events.count()
+
+    # seed some base state so the rebucket has buckets to move
+    replay(spark, events, LakeTable.load(root), chunk_size=1_000, max_batches=1)
+
+    stale = LakeTable.load(root)  # sees 8 buckets, batch 0 committed
+    # the interleaved maintenance commit: layout 8 -> 5 (a SHRINK, the
+    # direction where stale new-layout/old-layout id confusion is
+    # guaranteed to alias distinct buckets)
+    LakeTable.load(root).rebucket(spark, 5)
+
+    # the stale replay computes its upfront stats under n_buckets=8,
+    # then every chunk commit forks against the rebucket's version
+    res = replay(spark, events, stale, chunk_size=1_000)
+    assert res["batches_applied"] == 3  # chunks 1-3 (0 was committed)
+
+    final = LakeTable.load(root)
+    assert final.n_buckets == 5
+    assert all(final.is_committed(i) for i in range(4))
+
+    clean_root = str(tmp_path / "clean")
+    replay(spark, events, LakeTable.create(clean_root, n_buckets=5), chunk_size=1_000)
+    got = sorted(tuple(r) for r in final.read(spark).collect())
+    want = sorted(tuple(r) for r in LakeTable.load(clean_root).read(spark).collect())
+    assert got == want
+
+
+def test_racing_rebucket_against_live_replay_converges(spark, tmp_path):
+    """True thread race: rebucket() fires WHILE a multi-chunk replay is
+    running (triggered the moment the replay's first chunk lands). Both
+    sides retry their fork/rewind losses; whatever interleaving the
+    scheduler picks, the final table must carry the new layout, every
+    chunk exactly once, and the clean-replay state."""
+    import time
+
+    from medallion_etl_spark.cdc.replay import replay
+    from medallion_etl_spark.synth import gen_events
+
+    root = str(tmp_path / "t")
+    LakeTable.create(root, n_buckets=8)
+    events = gen_events(spark, n_events=8_000, n_keys=400).cache()
+    events.count()
+
+    errors: list[Exception] = []
+
+    def replayer() -> None:
+        try:
+            for _ in range(8):
+                try:
+                    replay(spark, events, LakeTable.load(root), chunk_size=1_000)
+                    return
+                except RuntimeError as exc:
+                    if "fork/rewind" not in str(exc):
+                        raise
+        except Exception as exc:
+            errors.append(exc)
+
+    def rebucketer() -> None:
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if LakeTable.load(root).committed_batches():
+                    break
+                time.sleep(0.01)
+            while True:
+                try:
+                    LakeTable.load(root).rebucket(spark, 5)
+                    return
+                except RuntimeError as exc:
+                    if "fork/rewind" not in str(exc):
+                        raise
+        except Exception as exc:
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=replayer),
+        threading.Thread(target=rebucketer),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+        assert not t.is_alive(), "racer hung"
+    assert not errors, errors
+
+    final = LakeTable.load(root)
+    assert final.n_buckets == 5
+    assert all(final.is_committed(i) for i in range(8))
+    leftover = replay(spark, events, LakeTable.load(root), chunk_size=1_000)
+    assert leftover["batches_applied"] == 0
+
+    clean_root = str(tmp_path / "clean")
+    replay(spark, events, LakeTable.create(clean_root, n_buckets=5), chunk_size=1_000)
+    got = sorted(tuple(r) for r in final.read(spark).collect())
+    want = sorted(tuple(r) for r in LakeTable.load(clean_root).read(spark).collect())
+    assert got == want
