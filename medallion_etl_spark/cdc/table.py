@@ -1039,15 +1039,26 @@ class LakeTable:
         if zorder_by:
             from .zorder import zvalue_col
 
-            sort_col: F.Column | str = zvalue_col(keep, zorder_by, coding=zorder_coding)
+            # materialize the Z-value as a column and sort by the
+            # attribute: a raw expression in the sort order is re-eval'd
+            # interpreted during the sort (the quantile coding's
+            # array-fold measured ~20x the whole write that way), while
+            # a projected column is computed once per row
+            keep = keep.withColumn(
+                "_zsort", zvalue_col(keep, zorder_by, coding=zorder_coding)
+            )
+            sort_col = "_zsort"
         else:
             sort_col = self.key_col
         rel_dir = self.new_data_dir()
         out_dir = os.path.join(self.root, rel_dir)
+        sorted_keep = keep.repartition(
+            self.n_buckets, F.col("_bucket")
+        ).sortWithinPartitions("_bucket", sort_col)
+        if zorder_by:
+            sorted_keep = sorted_keep.drop("_zsort")
         (
-            keep.repartition(self.n_buckets, F.col("_bucket"))
-            .sortWithinPartitions("_bucket", sort_col)
-            .write.mode("overwrite")
+            sorted_keep.write.mode("overwrite")
             .options(**self.writer_options())
             .partitionBy("_bucket")
             .parquet(out_dir)
@@ -1117,20 +1128,30 @@ class LakeTable:
             # drop_column, or a hand-edited spec): a key sort keeps the
             # rebucket usable; the next compact re-establishes layout
             clustering = {"kind": "key", "cols": [self.key_col]}
-        if clustering.get("kind") == "zorder":
+        is_zorder = clustering.get("kind") == "zorder"
+        if is_zorder:
             from .zorder import zvalue_col
 
-            sort_col: F.Column | str = zvalue_col(
-                keep, clustering["cols"], coding=clustering.get("coding", "linear")
+            # same materialize-then-sort shape as compact(): never put
+            # the Z expression itself in the sort order
+            keep = keep.withColumn(
+                "_zsort",
+                zvalue_col(
+                    keep, clustering["cols"], coding=clustering.get("coding", "linear")
+                ),
             )
+            sort_col = "_zsort"
         else:
             sort_col = self.key_col
         rel_dir = self.new_data_dir()
         out_dir = os.path.join(self.root, rel_dir)
+        sorted_keep = keep.repartition(
+            new_n_buckets, F.col("_bucket")
+        ).sortWithinPartitions("_bucket", sort_col)
+        if is_zorder:
+            sorted_keep = sorted_keep.drop("_zsort")
         (
-            keep.repartition(new_n_buckets, F.col("_bucket"))
-            .sortWithinPartitions("_bucket", sort_col)
-            .write.mode("overwrite")
+            sorted_keep.write.mode("overwrite")
             .options(**self.writer_options())
             .partitionBy("_bucket")
             .parquet(out_dir)

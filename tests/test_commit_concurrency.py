@@ -140,7 +140,7 @@ def test_racing_mor_and_cow_replayers_converge(spark, tmp_path):
     assert got == want
 
 
-def test_replay_recomputes_stats_after_concurrent_rebucket(spark, tmp_path):
+def test_replay_recomputes_stats_after_concurrent_shrink_rebucket(spark, tmp_path):
     """The documented silent-data-loss scenario, end-to-end: a
     rebucket() commits between a replay's upfront stats pass and its
     chunk commits. The stale handle's precomputed _bucket ids address

@@ -305,7 +305,11 @@ _events_strategy = st.lists(
 
 
 @settings(
-    max_examples=8,
+    # 4 random (event-list, span-partition, order) draws per run: the
+    # property is order-INSENSITIVITY, and each example already
+    # exercises several spans; 8 examples measured 2x the suite cost
+    # for no extra shrink diversity
+    max_examples=4,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
