@@ -57,6 +57,13 @@ def _bench_conf(parallelism: int | None = None) -> dict[str, str]:
         conf["spark.sql.parquet.compression.codec"] = os.environ[
             "SPARK_GRAFT_PARQUET_CODEC"
         ]
+    # parquet-java zstd level (default 3): level 1 trades bytes for
+    # encode CPU — on a DRAM-bound box the direction that wins must be
+    # measured, not assumed
+    if os.environ.get("SPARK_GRAFT_PARQUET_ZSTD_LEVEL"):
+        conf["spark.hadoop.parquet.compression.codec.zstd.level"] = os.environ[
+            "SPARK_GRAFT_PARQUET_ZSTD_LEVEL"
+        ]
     if parallelism is not None:
         # Emulate an N-core executor honestly: a real executor JVM gets
         # GC threads sized to ITS cores, not the host's 32. Only
