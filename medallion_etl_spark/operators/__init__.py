@@ -125,13 +125,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cobertura_sucursal_aguas",
     "doc_length_percentiles",
     "decontaminate_against_benchmark",
+    # new in r4: exact-substring (K-word window) duplication stats —
+    # takes the slot of exact_dedup_docs (green r1/r2/r3)
+    "dup_span_stats",
     # stable rotation (all ≥2 green rounds)
     "hectolitros_measure",
     "doc_token_stats",
     "doc_quality_scores",
     "lang_id_ngram",
     "doc_fingerprint",
-    "exact_dedup_docs",
     "ngram_jaccard_topk",
     "minhash_near_dup_pairs",
 )

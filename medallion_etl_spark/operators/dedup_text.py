@@ -436,8 +436,90 @@ ORDER BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Exact-substring duplication measurement (the MassiveText / RefinedWeb
+# "duplicated span" statistic): for every overlapping K-word window of
+# every document, how many windows also appear verbatim in ANOTHER
+# document — reported per doc as a duplicated-window fraction plus a
+# keep flag. The literature computes exact substring dups with a corpus
+# suffix array (sequential, memory-resident); the fixed-K overlapping
+# window grid is the shuffle-friendly re-expression: same signal for
+# spans >= K words, and every stage is a plain hash shuffle.
+#
+# Scale shape: windows are md5'd BEFORE the explode, so the shuffle
+# carries (doc_id, 32-char digest) rows and the text never moves; the
+# window-frequency aggregate and the join-back hash-partition on the
+# SAME key (one exchange, reused); amplification is a fixed K x
+# words-per-doc, not quadratic. Docs shorter than K words carry no
+# window and are excluded in both engines.
+
+DUP_SPAN_K = 5
+DUP_SPAN_KEEP_MAX = 0.3  # keep docs with <= 30% cross-doc duplicated windows
+
+
+def dup_span_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spread(spark, T(spark, sf, "documents"))
+    words = _words()
+    n = F.size(words)
+    wins = F.transform(
+        F.sequence(F.lit(1), n - (DUP_SPAN_K - 1)),
+        lambda i: F.md5(
+            F.encode(F.concat_ws(" ", F.slice(words, i, DUP_SPAN_K)), "UTF-8")
+        ),
+    )
+    # persisted for the same reason as the shingle frames above: the
+    # window-frequency agg and the join-back are both built from it
+    flat = (
+        docs.filter(n >= DUP_SPAN_K)
+        .select("doc_id", F.explode(wins).alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    freq = flat.groupBy("w").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        flat.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.round(
+                F.avg(F.when(F.col("nd") > 1, 1.0).otherwise(0.0)), 6
+            ).alias("dup_win_frac"),
+        )
+        .withColumn(
+            "keep", (F.col("dup_win_frac") <= F.lit(DUP_SPAN_KEEP_MAX)).cast("int")
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_SPAN_STATS_SQL = f"""
+WITH eligible AS (
+  SELECT doc_id, words
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+  WHERE len(words) >= {DUP_SPAN_K}
+), flat AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words) - {DUP_SPAN_K - 2}),
+                               i -> md5(array_to_string(words[i:i+{DUP_SPAN_K - 1}], ' ')))) AS w
+  FROM eligible
+), freq AS (
+  SELECT w, count(DISTINCT doc_id) AS nd FROM flat GROUP BY w
+), per_doc AS (
+  SELECT f.doc_id,
+         count(*) AS n_windows,
+         round(avg(CASE WHEN freq.nd > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_win_frac
+  FROM flat f JOIN freq USING (w)
+  GROUP BY 1
+)
+SELECT doc_id, n_windows, dup_win_frac,
+       CAST(dup_win_frac <= {DUP_SPAN_KEEP_MAX} AS INT) AS keep
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_DOCS_SQL),
+    "dup_span_stats": (dup_span_stats, DUP_SPAN_STATS_SQL),
     "decontaminate_against_benchmark": (
         decontaminate_against_benchmark,
         DECONTAMINATE_SQL,

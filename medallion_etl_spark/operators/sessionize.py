@@ -67,9 +67,12 @@ WITH gaps AS (
 ),
 tagged AS (
   SELECT user_id, ts, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
-           AS session_seq
+         -- CAST matters: DuckDB's integer window sum returns HUGEINT,
+         -- which pandas renders as float64 — the driver's value hash
+         -- would then see 1.0 vs Spark's int64 1
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+              AS BIGINT) AS session_seq
   FROM gaps
 )
 SELECT user_id, session_seq,

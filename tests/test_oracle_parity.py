@@ -34,7 +34,11 @@ def _canon_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return None
     if isinstance(v, float):
-        return float(v)
+        # keep the FLOAT-NESS visible: Python's 1 == 1.0 would hide an
+        # engine dtype mismatch (e.g. a DuckDB HUGEINT window sum that
+        # pandas renders float64 vs Spark's int64) that a byte-level
+        # value hash in the external harness does NOT forgive
+        return ("f", float(v))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple)) or v.__class__.__name__ == "ndarray":

@@ -185,3 +185,24 @@ def test_vocab_topk_partial_agg_and_top_heap(spark, sf_small):
     assert "partial_count" in p
     assert "TakeOrderedAndProject" in p
     assert "GlobalSort" not in p and ", Sort [" not in p
+
+
+def test_dup_span_shuffles_digests_not_text(spark, sf_small):
+    """Every exchange past the window explode must carry (doc_id, md5
+    digest) rows only: the K-word windows are hashed BEFORE the
+    explode, so at 100 TB the frequency agg and the join-back move
+    32-char digests, never the corpus text. The persisted window frame
+    must also be reused by both the frequency side and the join-back
+    (one text scan, not two)."""
+    from medallion_etl_spark.operators.dedup_text import dup_span_stats
+
+    p = plan(dup_span_stats(spark, sf_small), mode="simple")
+    # the only plan node allowed to mention the text column is the
+    # parquet scan + the pre-persist projection feeding InMemoryRelation
+    post = p.split("InMemoryTableScan", 1)[0]
+    assert "text#" not in post, post
+    assert p.count("InMemoryTableScan") >= 2, "window frame not reused"
+    # every FileScan mention is the cached relation's stored definition
+    # (printed once under each InMemoryTableScan) — there is no
+    # uncached scan outside an InMemoryRelation block
+    assert p.count("FileScan parquet") <= p.count("InMemoryRelation")
