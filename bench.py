@@ -94,6 +94,8 @@ HEADLINE = [
     "scd2_user_type",
     "packed_sequences",
     "doc_length_percentiles",
+    # round-4: exact-substring dup stats (digest shuffle + join-back)
+    "dup_span_stats",
 ]
 
 
