@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .apply import apply_batch
-from .table import LakeTable
+from .table import LakeTable, retry_on_fork_rewind
 
 DML_BASE = 1 << 38
 _DML_END = 1 << 39  # REFRESH_BASE (scripts/orchestrator.py)
@@ -69,31 +69,33 @@ def _apply_dml(
     from its result and the no-match case surfaces as
     ``skipped_empty`` (true no-op: no commit, no new version) — one
     scan of the snapshot per attempt, not two."""
-    for attempt in range(3):
+    def _apply() -> tuple[dict, int]:
+        # the whole attempt re-derives from the current handle: lsn,
+        # events, and batch id all move when a conflicting commit lands
         lsn = table.max_committed_lsn() + 1
         events = build_events(table, lsn)
-        try:
-            res = apply_batch(
-                spark,
-                table,
-                events,
-                batch_id=_next_dml_id(table),
-                lsn_lo=lsn,
-                lsn_hi=lsn,
-                write_mode=write_mode,
-                skip_empty_commit=True,
-            )
-        except RuntimeError as exc:
-            if "fork/rewind" not in str(exc) or attempt == 2:
-                raise
-            table = LakeTable.load(table.root)
-            continue
-        if res.get("skipped_empty"):
-            return None, table
-        res["rows_matched"] = res["rows_applied"]
-        res["lsn"] = lsn
-        return res, table
-    raise AssertionError("unreachable")
+        res = apply_batch(
+            spark,
+            table,
+            events,
+            batch_id=_next_dml_id(table),
+            lsn_lo=lsn,
+            lsn_hi=lsn,
+            write_mode=write_mode,
+            skip_empty_commit=True,
+        )
+        return res, lsn
+
+    def _reload() -> None:
+        nonlocal table
+        table = LakeTable.load(table.root)
+
+    res, lsn = retry_on_fork_rewind(_apply, _reload)
+    if res.get("skipped_empty"):
+        return None, table
+    res["rows_matched"] = res["rows_applied"]
+    res["lsn"] = lsn
+    return res, table
 
 
 def delete_where(

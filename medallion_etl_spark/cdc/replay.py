@@ -21,6 +21,8 @@ same apply) lives in streaming/stream_replay.py.
 from __future__ import annotations
 
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,7 +31,29 @@ from .apply import apply_batch
 from .constraints import fail_on_violations, violation_reason
 from .manifest import pending_chunks, plan_chunks
 from .quarantine import POLICIES, malformed_reason, split_malformed
-from .table import LakeTable, bucket_expr
+from .table import LakeTable, bucket_expr, retry_on_fork_rewind
+
+_NULL_DIR_RE = re.compile(r"^range-null-(-?\d+)-(-?\d+)$")
+
+
+def _sweep_subsumed_null_dirs(qroot: str, lo: int, hi: int) -> None:
+    """Remove sibling ``range-null-LO-HI`` dirs whose span is strictly
+    contained in [lo, hi]: a grown stream re-sees (and just rewrote)
+    every NULL-lsn row the subsumed run diverted, so keeping the old
+    dir would double-count them in a discovery scan. Runs AFTER the
+    new dir's write succeeds — a crash in between leaves a transient
+    duplicate, never a loss; the next resume sweeps it."""
+    keep = f"range-null-{lo}-{hi}"
+    try:
+        names = os.listdir(qroot)
+    except FileNotFoundError:
+        return
+    for name in names:
+        if name == keep:
+            continue
+        m = _NULL_DIR_RE.match(name)
+        if m and lo <= int(m.group(1)) and int(m.group(2)) <= hi:
+            shutil.rmtree(os.path.join(qroot, name), ignore_errors=True)
 
 
 def replay(
@@ -57,10 +81,13 @@ def replay(
     'quarantine' writes the bad rows (+ ``_reason``) to
     ``<quarantine_dir or <table>/_quarantine>/range-LO-HI``
     (overwritten on redelivery so resume stays idempotent), except
-    NULL-lsn rows, which land in the fixed sibling ``range-null`` dir
-    (they re-enter scope on every resume; a window-keyed dir would
-    duplicate them across dirs), and replays the rest; 'drop' replays
-    the rest and reports the count. Chunk
+    NULL-lsn rows, which land in the sibling ``range-null-LO-HI`` dir
+    keyed by the raw STREAM bounds — stable across resumes (they
+    re-enter scope every run; a pending-window key would duplicate
+    them across dirs) yet distinct per ingest window, so a later
+    ingest never destroys an earlier window's diagnostics; a grown
+    stream sweeps the null dirs its span subsumes — and replays the
+    rest; 'drop' replays the rest and reports the count. Chunk
     PLANNING always uses the raw stream's LSN bounds, so the chunk ids
     a quarantining replay commits are identical to what a clean replay
     of the same range would commit (a chunk whose events were all bad
@@ -109,7 +136,12 @@ def replay(
     quarantine_null_path = None
     if on_malformed != "fail" and todo:
         clean, bad = split_malformed(events, table.key_col)
-        n_bad = bad.count()
+        counts = bad.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("lsn").isNull(), 1)).alias("n_null"),
+        ).collect()[0]
+        n_bad = int(counts["n"])
+        n_null = int(counts["n_null"])
         if n_bad:
             if on_malformed == "quarantine":
                 # a custom quarantine_dir gets the same per-range
@@ -119,18 +151,25 @@ def replay(
                 # discovery over the parent would fail or conflate them)
                 qroot = quarantine_dir or os.path.join(table.root, "_quarantine")
                 # NULL-lsn rows stay in scope on every resume (they
-                # have no LSN home), so keying their dir by the pending
-                # window would re-divert the SAME rows under a new
-                # range-LO-HI dir per run and double-count them in any
-                # discovery scan over _quarantine/*. They get ONE fixed
-                # dir ('range-null'), overwritten each run; only
-                # LSN-ranged rows land under the per-window dir.
+                # have no LSN home), so keying their dir by the PENDING
+                # window would re-divert the SAME rows under a new dir
+                # per resume and double-count them in a discovery scan
+                # over _quarantine/*. Keying by the raw STREAM bounds
+                # is stable across resumes (overwrite = idempotent
+                # redelivery) while a later, different-window ingest of
+                # the same table gets its own dir — its nulls must not
+                # destroy an earlier window's diagnostics. A grown
+                # stream (same lo, larger hi) re-sees and rewrites the
+                # old nulls, so sibling null dirs whose span this run's
+                # span CONTAINS are swept after a successful write.
                 null_lsn = bad.filter(F.col("lsn").isNull())
                 ranged = bad.filter(F.col("lsn").isNotNull())
-                n_null = null_lsn.count()
                 if n_null:
-                    quarantine_null_path = os.path.join(qroot, "range-null")
+                    quarantine_null_path = os.path.join(
+                        qroot, f"range-null-{lsn_min}-{lsn_max}"
+                    )
                     null_lsn.write.mode("overwrite").parquet(quarantine_null_path)
+                    _sweep_subsumed_null_dirs(qroot, lsn_min, lsn_max)
                 if n_bad - n_null:
                     quarantine_path = os.path.join(
                         qroot, f"range-{pend_lo}-{pend_hi}"
@@ -250,46 +289,47 @@ def replay(
     batches = 0
     rows = 0
     phase_totals: dict[str, float] = {}
+
+    def _reload_after_conflict() -> None:
+        # reload the table (picking up the other writer's buckets AND
+        # manifest: the chunk may now be a skip); if a concurrent
+        # rebucket() committed mid-replay, the upfront stats address
+        # the OLD bucket layout, so every remaining chunk's _bucket
+        # ids (and the changed-bucket sets derived from them) are
+        # stale — recompute under the reloaded layout before
+        # re-applying (validation already ran on pass one)
+        nonlocal table, stats_by_chunk, stats_n_buckets
+        table = LakeTable.load(table.root)
+        if table.n_buckets != stats_n_buckets:
+            stats_by_chunk = compute_chunk_stats(validate=False)
+            stats_n_buckets = table.n_buckets
+
     for batch_id, lo, hi in todo:
         chunk = events.filter(F.col("lsn").between(lo, hi))
         # concurrent-writer resilience: if another replayer committed
         # between our load and this chunk's commit, the optimistic-
-        # concurrency gate raises — reload the table (picking up the
-        # other writer's buckets AND manifest: the chunk may now be a
-        # skip) and re-apply against the fresh base. The merge is
-        # order-independent, so re-computing against the newer base is
-        # exactly as correct as having loaded it first.
-        for attempt in range(3):
-            try:
-                res = apply_batch(
-                    spark,
-                    table,
-                    chunk,
-                    batch_id,
-                    lo,
-                    hi,
-                    dedup_strategy=dedup_strategy,
-                    n_salts=n_salts,
-                    merge_path=merge_path,
-                    write_mode=write_mode,
-                    mor_max_deltas=mor_max_deltas,
-                    precomputed_stats=stats_by_chunk.get(batch_id, []),
-                    precomputed_stats_n_buckets=stats_n_buckets,
-                )
-                break
-            except RuntimeError as exc:
-                if "fork/rewind" not in str(exc) or attempt == 2:
-                    raise
-                table = LakeTable.load(table.root)
-                if table.n_buckets != stats_n_buckets:
-                    # a concurrent rebucket() committed mid-replay: the
-                    # upfront stats address the OLD bucket layout, so
-                    # every remaining chunk's _bucket ids (and the
-                    # changed-bucket sets derived from them) are stale —
-                    # recompute under the reloaded layout before
-                    # re-applying (validation already ran on pass one)
-                    stats_by_chunk = compute_chunk_stats(validate=False)
-                    stats_n_buckets = table.n_buckets
+        # concurrency gate raises — reload and re-apply against the
+        # fresh base. The merge is order-independent, so re-computing
+        # against the newer base is exactly as correct as having
+        # loaded it first.
+        res = retry_on_fork_rewind(
+            lambda batch_id=batch_id, lo=lo, hi=hi, chunk=chunk: apply_batch(
+                spark,
+                table,
+                chunk,
+                batch_id,
+                lo,
+                hi,
+                dedup_strategy=dedup_strategy,
+                n_salts=n_salts,
+                merge_path=merge_path,
+                write_mode=write_mode,
+                mor_max_deltas=mor_max_deltas,
+                precomputed_stats=stats_by_chunk.get(batch_id, []),
+                precomputed_stats_n_buckets=stats_n_buckets,
+            ),
+            _reload_after_conflict,
+        )
         if not res.get("skipped"):
             batches += 1
             rows += res.get("rows_applied", 0)
@@ -303,11 +343,13 @@ def replay(
         "phase_totals": phase_totals,
     }
     if rows_quarantined:
+        # both path keys are ALWAYS present when rows were quarantined
+        # (None when that split was empty): consumers index
+        # res["quarantine_path"] on the old single-dir contract and
+        # must get None, not KeyError, when every bad row was NULL-lsn
         out["rows_quarantined"] = rows_quarantined
-        if quarantine_path:
-            out["quarantine_path"] = quarantine_path
-        if quarantine_null_path:
-            out["quarantine_null_path"] = quarantine_null_path
+        out["quarantine_path"] = quarantine_path
+        out["quarantine_null_path"] = quarantine_null_path
     if rows_dropped:
         out["rows_dropped"] = rows_dropped
     if rows_violating:

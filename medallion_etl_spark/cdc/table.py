@@ -198,6 +198,30 @@ def bucket_expr(key_col: str, n_buckets: int) -> F.Column:
     return F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+def retry_on_fork_rewind(apply_fn, on_retry=None, *, attempts: int = 3):
+    """Run ``apply_fn()`` retrying ONLY on the commit-time fork/rewind
+    guard (a concurrent commit moved the on-disk HEAD between a
+    handle's load and its commit — see ``_commit_meta``). Any other
+    error, and the final attempt's failure, propagate unchanged.
+
+    ``on_retry()`` runs before each re-attempt so the caller can
+    refresh whatever the conflict invalidated (reload the table
+    handle, recompute layout-addressed stats); callers that load a
+    fresh handle inside ``apply_fn`` itself don't need one. This is
+    the ONE retry policy for every optimistic-commit path (batch
+    replay, streaming epochs, DML, signature maintenance) — change
+    attempt count or the retryable test here, nowhere else."""
+    for attempt in range(attempts):
+        try:
+            return apply_fn()
+        except RuntimeError as exc:
+            if "fork/rewind" not in str(exc) or attempt == attempts - 1:
+                raise
+            if on_retry is not None:
+                on_retry()
+    raise AssertionError("unreachable")
+
+
 class LakeTable:
     def __init__(self, root: str, meta: dict):
         self.root = root

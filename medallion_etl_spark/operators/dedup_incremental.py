@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..cdc.apply import apply_batch
-from ..cdc.table import LakeTable
+from ..cdc.table import LakeTable, retry_on_fork_rewind
 from .dedup_text import N_HASHES, _minhash_sig, _shingles, band_buckets
 
 SIG_SCHEMA_V1 = T.StructType(
@@ -429,27 +429,23 @@ def stream_refresh_signatures(
             .alias("mh"),
             F.lit(1).alias("schema_version"),
         )
-        # concurrent-commit resilience (same loop as
+        # concurrent-commit resilience (same policy as
         # stream_replay.apply_epoch): a batch refresh or maintenance
         # commit on the signature table landing between this epoch's
-        # load and its commit raises the fork/rewind guard — reload a
-        # fresh handle and re-apply instead of failing the whole drain.
-        for attempt in range(3):
-            sig = LakeTable.load(sig_root)  # fresh handle per attempt
-            try:
-                out = apply_batch(
-                    spark,
-                    sig,
-                    events,
-                    batch_id=stream_batch_id(checkpoint_dir, epoch_id),
-                    lsn_lo=int(bounds["lo"]),
-                    lsn_hi=int(bounds["hi"]),
-                    skip_empty_commit=True,
-                )
-                break
-            except RuntimeError as exc:
-                if "fork/rewind" not in str(exc) or attempt == 2:
-                    raise
+        # load and its commit raises the fork/rewind guard — the
+        # attempt loads a fresh handle itself, so no on_retry is
+        # needed.
+        out = retry_on_fork_rewind(
+            lambda: apply_batch(
+                spark,
+                LakeTable.load(sig_root),  # fresh handle per attempt
+                events,
+                batch_id=stream_batch_id(checkpoint_dir, epoch_id),
+                lsn_lo=int(bounds["lo"]),
+                lsn_hi=int(bounds["hi"]),
+                skip_empty_commit=True,
+            )
+        )
         if not out.get("skipped"):
             totals["epochs"] += 1
             totals["rows_applied"] += int(out.get("rows_applied", 0))

@@ -184,11 +184,12 @@ def _token_id(w: F.Column) -> F.Column:
 
 
 def tokenize_documents_raw(spark: SparkSession, sf: str) -> DataFrame:
-    """The engine-shape output: raw ``tokens array<int>``. Kept for
-    pytest token-array equality (the north_star invariant); the
-    driver-paired query below emits the same ids joined to a string
-    because the driver's pandas canonicalizer cannot sort a raw list
-    column (r03's one red row)."""
+    """The engine-shape output: raw ``tokens array<int>``. Pinned by
+    tests/test_repetition.py::test_tokenize_raw_ids_are_bit_exact
+    (token ids bit-equal to an independent Python md5 fold — the
+    north_star invariant); the driver-paired query below emits the
+    same ids joined to a string because the driver's pandas
+    canonicalizer cannot sort a raw list column (r03's one red row)."""
     docs = spread(spark, T(spark, sf, "documents"))
     words = F.filter(F.split(F.lower("text"), " "), lambda w: F.length(w) > 0)
     tokens = F.transform(words, _token_id)

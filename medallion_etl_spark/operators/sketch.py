@@ -156,7 +156,6 @@ def hll_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     merged = per.agg(
         F.lit("__ALL__").alias("source"),
         F.hll_union_agg("sk").alias("sk"),
-        F.lit(None).cast("long").alias("exact_distinct"),
     )
     all_exact = ev.agg(F.count_distinct("user_id").alias("e"))
     merged = merged.crossJoin(F.broadcast(all_exact)).select(

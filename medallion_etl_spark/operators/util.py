@@ -19,13 +19,18 @@ def broadcast_if_small(df: DataFrame) -> DataFrame:
     a property of the schema, not the data volume. The estimate is the
     optimizer's sizeInBytes on the driver: metadata-only, no job."""
     spark = df.sparkSession
-    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    thresh = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    ).strip()
+    # Spark's ConfigHelpers.byteFromString strips the sign before
+    # calling JavaUtils (which rejects '-1'); "-1" is the standard
+    # spelling for broadcast-disabled, so mirror that here.
+    if thresh.startswith("-"):
+        return df
     jvm = spark._jvm
     thresh_bytes = int(
-        jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(str(thresh))
+        jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thresh)
     )
-    if thresh_bytes < 0:  # broadcast disabled for the session
-        return df
     est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     return F.broadcast(df) if est <= thresh_bytes else df
 

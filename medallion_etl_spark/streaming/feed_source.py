@@ -124,11 +124,15 @@ class LakeFeedStreamReader(DataSourceStreamReader):
                 if pv is not None
                 else LakeTable.load(self.root)
             )
-        except (FileNotFoundError, ValueError):
-            # load_version raises ValueError ("no snapshot ...") when the
-            # version file is gone (expired between schema() pin and
-            # reader init), not FileNotFoundError — catch both so the
-            # documented fall-back-to-HEAD actually triggers.
+        except (FileNotFoundError, ValueError) as exc:
+            # load_version raises ValueError ("no snapshot ...") when
+            # the version file is gone (expired between schema() pin
+            # and reader init), not FileNotFoundError — but ONLY that
+            # ValueError may fall back to HEAD: a corrupt/hand-edited
+            # version file raising some other ValueError must stay
+            # loud, not silently re-pin the stream to HEAD's schema.
+            if isinstance(exc, ValueError) and "no snapshot" not in str(exc):
+                raise
             t = LakeTable.load(self.root)
         self.target_sv = t.schema_version
         self.schemas_json = {v: st.jsonValue() for v, st in t.schemas.items()}

@@ -43,7 +43,7 @@ from ..schemas import EVENTS_SCHEMA
 from ..cdc.apply import apply_batch
 from ..cdc.constraints import fail_on_violations, split_violations, violation_reason
 from ..cdc.quarantine import POLICIES, malformed_reason, split_malformed
-from ..cdc.table import LakeTable
+from ..cdc.table import LakeTable, retry_on_fork_rewind
 
 # Streaming epochs and batch-replay chunk ids share the table's one
 # commit manifest; without a namespace, epoch 0 of a streaming drain
@@ -185,26 +185,26 @@ def stream_replay(
         # landing between this epoch's load and its commit raises the
         # fork/rewind guard — reload and re-apply against the fresh
         # base instead of failing the whole streaming query
-        for attempt in range(3):
-            try:
-                res = apply_batch(
-                    spark,
-                    table,
-                    batch_df,
-                    batch_id=stream_batch_id(checkpoint_dir, epoch_id),
-                    lsn_lo=int(bounds["lo"]),
-                    lsn_hi=int(bounds["hi"]),
-                    dedup_strategy=dedup_strategy,
-                    n_salts=n_salts,
-                    merge_path=merge_path,
-                    write_mode=write_mode,
-                    mor_max_deltas=mor_max_deltas,
-                )
-                break
-            except RuntimeError as exc:
-                if "fork/rewind" not in str(exc) or attempt == 2:
-                    raise
-                table = LakeTable.load(table_root)
+        def _reload() -> None:
+            nonlocal table
+            table = LakeTable.load(table_root)
+
+        res = retry_on_fork_rewind(
+            lambda: apply_batch(
+                spark,
+                table,
+                batch_df,
+                batch_id=stream_batch_id(checkpoint_dir, epoch_id),
+                lsn_lo=int(bounds["lo"]),
+                lsn_hi=int(bounds["hi"]),
+                dedup_strategy=dedup_strategy,
+                n_salts=n_salts,
+                merge_path=merge_path,
+                write_mode=write_mode,
+                mor_max_deltas=mor_max_deltas,
+            ),
+            _reload,
+        )
         if res.get("skipped"):
             totals["epochs_skipped"] += 1
         else:

@@ -32,6 +32,7 @@ import glob
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -110,18 +111,27 @@ def main() -> int:
             sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
             *args.pytest_args, *shard,
         ]
+        # each shard's output goes to a FILE, not a PIPE: the runner
+        # drains shards sequentially, and a not-yet-drained shard whose
+        # pytest+JVM output fills the ~64KB pipe buffer would block
+        # mid-test, silently serializing the parallel run
+        log = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
         procs.append((
             i,
             shard,
+            log,
             subprocess.Popen(
                 cmd, cwd=REPO, env=env, text=True,
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                stdout=log, stderr=subprocess.STDOUT,
             ),
         ))
 
     failed = False
-    for i, shard, p in procs:
-        out, _ = p.communicate()
+    for i, shard, log, p in procs:
+        p.wait()
+        log.seek(0)
+        out = log.read()
+        log.close()
         wall = time.perf_counter() - t0
         tail = out.strip().splitlines()[-1] if out.strip() else "(no output)"
         names = ", ".join(os.path.basename(f) for f in shard)

@@ -74,6 +74,13 @@ def test_broadcast_hint_is_size_gated_for_scaling_tables(spark, sf_small):
         # either is contract-legal) and keeps its fact-side SMJ shape
         p = plan(coverage_two_level(spark, sf_small))
         assert "Join" in p
+
+        # '-1' is the standard broadcast-disabled spelling (Spark's
+        # own parser strips the sign; JavaUtils alone rejects it) —
+        # must return df unhinted, not crash
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        disabled = broadcast_if_small(df)
+        assert "Hint" not in disabled._jdf.queryExecution().logical().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 

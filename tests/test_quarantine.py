@@ -87,13 +87,15 @@ def test_quarantine_diverts_and_matches_clean_replay(spark, tmp_path, streams):
     assert res["batches_applied"] == res["planned_chunks"]
 
     # quarantined rows carry their reason; nothing was lost or
-    # invented. NULL-lsn rows live in the FIXED range-null sibling dir
-    # (they stay in scope every resume; a window-keyed dir would
-    # duplicate them), LSN-ranged rows under the per-window dir.
+    # invented. NULL-lsn rows live in the stream-bounds-keyed
+    # range-null-LO-HI sibling dir (stable across resumes — a
+    # pending-window key would duplicate them; a single fixed dir
+    # would let a later ingest destroy an earlier window's rows),
+    # LSN-ranged rows under the per-window dir.
     qdf = spark.read.parquet(res["quarantine_path"])
     reasons = {r["_reason"]: r["cnt"] for r in qdf.groupBy("_reason").agg(F.count("*").alias("cnt")).collect()}
     assert reasons == {"null_key": 2, "bad_op": 2}
-    assert res["quarantine_null_path"].endswith("range-null")
+    assert "range-null-" in os.path.basename(res["quarantine_null_path"])
     qnull = spark.read.parquet(res["quarantine_null_path"])
     assert {r["_reason"] for r in qnull.select("_reason").collect()} == {"null_lsn"}
     assert qnull.count() == 2
@@ -114,15 +116,97 @@ def test_quarantine_diverts_and_matches_clean_replay(spark, tmp_path, streams):
     assert "rows_quarantined" not in res2
     assert spark.read.parquet(res["quarantine_path"]).count() == n_bad - 2
     # a discovery scan over the whole quarantine root counts each bad
-    # row exactly once (the NULL-lsn dir is fixed, not window-keyed)
+    # row exactly once (the NULL-lsn dir is stream-bounds-keyed, so a
+    # redelivery overwrote it in place rather than adding a sibling)
     qroot = os.path.join(table.root, "_quarantine")
     assert sorted(os.listdir(qroot)) == sorted(
-        [os.path.basename(res["quarantine_path"]), "range-null"]
+        [
+            os.path.basename(res["quarantine_path"]),
+            os.path.basename(res["quarantine_null_path"]),
+        ]
     )
     total = sum(
         spark.read.parquet(os.path.join(qroot, d)).count() for d in os.listdir(qroot)
     )
     assert total == n_bad
+
+
+def test_null_quarantine_survives_later_windows(spark, tmp_path):
+    """A later ingest window must never destroy an earlier window's
+    NULL-lsn diagnostics, while a GROWN stream (which re-sees and
+    rewrites the old nulls) sweeps the dir its span subsumes."""
+    qroot = str(tmp_path / "shared_quarantine")
+    clean = gen_events(spark, n_events=1_000, n_keys=50)
+    null_row = clean.limit(1).withColumn("lsn", F.lit(None).cast("long"))
+    day1 = clean.unionByName(null_row)
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=4)
+    res1 = replay(
+        spark,
+        day1,
+        table,
+        chunk_size=500,
+        on_malformed="quarantine",
+        quarantine_dir=qroot,
+    )
+    dir1 = res1["quarantine_null_path"]
+    assert os.path.isdir(dir1)
+
+    # the stream GROWS (same lo, larger hi): resume re-sees the null
+    # row, writes the new bounds-keyed dir, sweeps the subsumed one
+    grown = day1.unionByName(
+        clean.limit(5).withColumn("lsn", F.col("lsn") + F.lit(1_000).cast("long"))
+    )
+    res2 = replay(
+        spark,
+        grown,
+        LakeTable.load(table.root),
+        chunk_size=500,
+        on_malformed="quarantine",
+        quarantine_dir=qroot,
+    )
+    dir2 = res2["quarantine_null_path"]
+    assert dir2 != dir1
+    assert not os.path.exists(dir1), "subsumed null dir must be swept"
+    assert spark.read.parquet(dir2).count() == 1
+
+    # a DISJOINT later window — another table's stream sharing the
+    # same quarantine root (the one-table batch replayer pins one
+    # stream per table; a moved window there raises by design) — must
+    # leave the first stream's null diagnostics alone
+    day2 = (
+        gen_events(spark, n_events=1_000, n_keys=50)
+        .withColumn("lsn", F.col("lsn") + F.lit(10_000).cast("long"))
+        .unionByName(null_row)
+    )
+    table2 = LakeTable.create(str(tmp_path / "t2"), n_buckets=4)
+    res3 = replay(
+        spark,
+        day2,
+        table2,
+        chunk_size=500,
+        on_malformed="quarantine",
+        quarantine_dir=qroot,
+    )
+    dir3 = res3["quarantine_null_path"]
+    assert dir3 not in (dir1, dir2)
+    assert os.path.exists(dir2), "earlier window's null diagnostics were destroyed"
+    assert os.path.exists(dir3)
+
+
+def test_all_null_bad_rows_keep_path_keys(spark, tmp_path):
+    """When every malformed row is NULL-lsn, the result still carries
+    BOTH path keys (quarantine_path=None), so consumers on the old
+    res['quarantine_path'] contract get None, not KeyError."""
+    clean = gen_events(spark, n_events=500, n_keys=20)
+    dirty = clean.unionByName(
+        clean.limit(2).withColumn("lsn", F.lit(None).cast("long"))
+    )
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=4)
+    res = replay(spark, dirty, table, chunk_size=500, on_malformed="quarantine")
+    assert res["rows_quarantined"] == 2
+    assert "quarantine_path" in res and res["quarantine_path"] is None
+    assert res["quarantine_null_path"] is not None
+    assert spark.read.parquet(res["quarantine_null_path"]).count() == 2
 
 
 def test_drop_mode_counts_and_matches(spark, tmp_path, streams):

@@ -65,3 +65,42 @@ def test_vocab_counts_and_order(spark, docs_dir):
     keys = [(-r["n_occurrences"], r["word"]) for r in got]
     assert keys == sorted(keys)
     assert [r["word"] for r in got[:3]] == ["a", "x", "y"]
+
+
+def test_tokenize_raw_ids_are_bit_exact(spark, docs_dir):
+    """Pins the north_star invariant the tokenize docstring claims:
+    the raw array<int> token ids match an INDEPENDENT Python
+    implementation of the md5 fold bit-for-bit, every id is inside
+    [0, VOCAB_SIZE), and the driver-paired string variant is exactly
+    the raw array joined with spaces."""
+    import hashlib
+
+    from medallion_etl_spark.operators.repetition import (
+        VOCAB_SIZE,
+        tokenize_documents,
+        tokenize_documents_raw,
+    )
+
+    def py_token_id(word: str) -> int:
+        h = hashlib.md5(word.encode("utf-8")).hexdigest()
+        acc = ord(h[0])
+        for c in h[1:5]:
+            acc = acc * 31 + ord(c)
+        return acc % VOCAB_SIZE
+
+    raw = {r["doc_id"]: r for r in tokenize_documents_raw(spark, docs_dir).collect()}
+    assert set(raw) == {1, 2, 3}
+    for doc_id, text in DOCS:
+        words = [w for w in text.lower().split(" ") if w]
+        expected = [py_token_id(w) for w in words]
+        got = raw[doc_id]["tokens"]
+        assert got == expected, f"doc {doc_id}: {got} != {expected}"
+        assert raw[doc_id]["n_tok"] == len(expected)
+        assert all(0 <= t < VOCAB_SIZE for t in got)
+
+    joined = {
+        r["doc_id"]: r["tokens_str"]
+        for r in tokenize_documents(spark, docs_dir).collect()
+    }
+    for doc_id in raw:
+        assert joined[doc_id] == " ".join(str(t) for t in raw[doc_id]["tokens"])
