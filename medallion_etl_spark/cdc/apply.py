@@ -58,7 +58,7 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def _record_write(spark, table, rel_dir, stats, batch_id, mark):
+def _record_write(table, rel_dir, stats, batch_id, mark):
     """Shared post-write tail of the COW and MOR apply paths: map the
     freshly written ``_bucket=`` dirs, build the per-bucket lineage
     rows (bytes from the new dirs), and collect the commit footer
@@ -371,7 +371,7 @@ def apply_batch(
 
     # a changed bucket with all rows deleted produces no dir and is
     # dropped from metadata
-    new_dirs, rows_applied, fstats, lineage_rows = _record_write(spark, table, rel_dir, stats, batch_id, mark)
+    new_dirs, rows_applied, fstats, lineage_rows = _record_write(table, rel_dir, stats, batch_id, mark)
     removed = set(changed) - set(new_dirs)
     table.commit(
         new_dirs,
@@ -438,7 +438,7 @@ def _apply_mor(
     ).parquet(out_dir)
     mark("merge_write")
 
-    new_dirs, rows_applied, fstats, lineage_rows = _record_write(spark, table, rel_dir, stats, batch_id, mark)
+    new_dirs, rows_applied, fstats, lineage_rows = _record_write(table, rel_dir, stats, batch_id, mark)
     table.commit(
         {},
         set(),

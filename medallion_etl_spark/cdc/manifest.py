@@ -71,6 +71,8 @@ def plan_chunks(lsn_min: int, lsn_max: int, chunk_size: int) -> list[tuple[int, 
     """Deterministic chunk plan: batch_id i covers lsn in
     [lsn_min + i*chunk_size, next) — stable across resumes because it
     depends only on the stream bounds and chunk size."""
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
     chunks = []
     i = 0
     lo = lsn_min

@@ -114,15 +114,21 @@ def merge_into(
             # upsert: LWW makes matched/not-matched indistinguishable —
             # no classification join at all, one O(|source|) pass
             return as_events(src, t, lsn, "U")
-        target_keys = t.read(spark, columns=[]).select(key)
+        # NULL-safe classification: the engine treats a NULL key as a
+        # normal LWW group everywhere else (apply.py's broadcast
+        # semi-join, the preimage join, the Iceberg MERGE's `<=>`) —
+        # plain `on=key` equality would misclassify a NULL-key target
+        # row as never-matched (delete leaves it, insert duplicates it)
+        target_keys = t.read(spark, columns=[]).select(F.col(key).alias("_mk"))
+        cond = F.col(key).eqNullSafe(F.col("_mk"))
         parts = []
         if when_matched != "skip":
-            matched = src.join(target_keys, on=key, how="left_semi")
+            matched = src.join(target_keys, cond, "left_semi")
             parts.append(
                 as_events(matched, t, lsn, "D" if when_matched == "delete" else "U")
             )
         if when_not_matched == "insert":
-            absent = src.join(target_keys, on=key, how="left_anti")
+            absent = src.join(target_keys, cond, "left_anti")
             parts.append(as_events(absent, t, lsn, "U"))
         events = parts[0]
         for p in parts[1:]:

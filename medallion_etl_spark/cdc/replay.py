@@ -20,8 +20,8 @@ same apply) lives in streaming/stream_replay.py.
 
 from __future__ import annotations
 
+import hashlib
 import os
-import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,27 +33,12 @@ from .manifest import pending_chunks, plan_chunks
 from .quarantine import POLICIES, malformed_reason, split_malformed
 from .table import LakeTable, bucket_expr, retry_on_fork_rewind
 
-_NULL_DIR_RE = re.compile(r"^range-null-(-?\d+)-(-?\d+)$")
-
-
-def _sweep_subsumed_null_dirs(qroot: str, lo: int, hi: int) -> None:
-    """Remove sibling ``range-null-LO-HI`` dirs whose span is strictly
-    contained in [lo, hi]: a grown stream re-sees (and just rewrote)
-    every NULL-lsn row the subsumed run diverted, so keeping the old
-    dir would double-count them in a discovery scan. Runs AFTER the
-    new dir's write succeeds — a crash in between leaves a transient
-    duplicate, never a loss; the next resume sweeps it."""
-    keep = f"range-null-{lo}-{hi}"
-    try:
-        names = os.listdir(qroot)
-    except FileNotFoundError:
-        return
-    for name in names:
-        if name == keep:
-            continue
-        m = _NULL_DIR_RE.match(name)
-        if m and lo <= int(m.group(1)) and int(m.group(2)) <= hi:
-            shutil.rmtree(os.path.join(qroot, name), ignore_errors=True)
+def _stream_tag(table_root: str) -> str:
+    """Short digest of the table identity for quarantine dir names:
+    two tables sharing one custom ``quarantine_dir`` (a tested
+    configuration) whose streams happen to start at the same LSN must
+    not collide on ``range-from-<lsn_min>``."""
+    return hashlib.md5(os.path.abspath(table_root).encode("utf-8")).hexdigest()[:8]
 
 
 def replay(
@@ -79,15 +64,17 @@ def replay(
     is applied if any event has a NULL lsn/key or an op outside
     {I,U,D} — the count rides the upfront stats job, no extra scan;
     'quarantine' writes the bad rows (+ ``_reason``) to
-    ``<quarantine_dir or <table>/_quarantine>/range-LO-HI``
-    (overwritten on redelivery so resume stays idempotent), except
-    NULL-lsn rows, which land in the sibling ``range-null-LO-HI`` dir
-    keyed by the raw STREAM bounds — stable across resumes (they
-    re-enter scope every run; a pending-window key would duplicate
-    them across dirs) yet distinct per ingest window, so a later
-    ingest never destroys an earlier window's diagnostics; a grown
-    stream sweeps the null dirs its span subsumes — and replays the
-    rest; 'drop' replays the rest and reports the count. Chunk
+    ``<quarantine_dir or <table>/_quarantine>/range-from-<lsn_min>-<tid>``
+    partitioned by chunk id with dynamic partition overwrite — keyed
+    by the stream's START + a table digest, so the dir is stable
+    across resumes and stream growth yet distinct per ingest window,
+    and a kill-and-resume rewrites exactly the still-pending chunks'
+    partitions (committed chunks' diagnostics stay put: a discovery
+    scan over _quarantine/* counts every bad row exactly once).
+    NULL-lsn rows have no chunk and re-enter scope every run, so they
+    land in the sibling ``range-null-from-<lsn_min>-<tid>`` dir,
+    whole-dir overwritten (the complete set is re-seen each run).
+    'drop' replays the rest and reports the count. Chunk
     PLANNING always uses the raw stream's LSN bounds, so the chunk ids
     a quarantining replay commits are identical to what a clean replay
     of the same range would commit (a chunk whose events were all bad
@@ -107,9 +94,46 @@ def replay(
         raise ValueError(f"on_malformed must be one of {POLICIES}, got {on_malformed!r}")
     if on_violation not in POLICIES:
         raise ValueError(f"on_violation must be one of {POLICIES}, got {on_violation!r}")
-    bounds = events.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    bounds = events.agg(
+        F.min("lsn").alias("lo"),
+        F.max("lsn").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
     if bounds["lo"] is None:
-        return {"batches_applied": 0, "rows_applied": 0}
+        n_rows = int(bounds["n"])
+        if n_rows == 0:
+            return {"batches_applied": 0, "rows_applied": 0}
+        # EVERY event has a NULL lsn: all malformed, no chunk plan
+        # exists. This must route through the malformed policy, not
+        # report clean success (the silent-discard hole): fail raises,
+        # quarantine diverts to the per-table unbounded-null dir
+        # (overwritten per run — the rows stay in scope every run),
+        # drop counts.
+        if on_malformed == "fail":
+            raise ValueError(
+                f"{n_rows} malformed change event(s) in the stream (every "
+                "event has a NULL lsn); nothing was applied. Re-run with "
+                "on_malformed='quarantine' to divert them, or 'drop' to "
+                "discard them."
+            )
+        out = {"batches_applied": 0, "rows_applied": 0, "planned_chunks": 0}
+        if on_malformed == "quarantine":
+            qroot = quarantine_dir or os.path.join(table.root, "_quarantine")
+            _, bad = split_malformed(events, table.key_col)
+            npath = os.path.join(
+                qroot, f"range-null-from-none-{_stream_tag(table.root)}"
+            )
+            bad.write.mode("overwrite").parquet(npath)
+            out.update(
+                rows_quarantined=n_rows,
+                quarantine_path=None,
+                quarantine_null_path=npath,
+            )
+        else:
+            out["rows_dropped"] = n_rows
+        return out
     lsn_min = int(bounds["lo"])
     lsn_max = int(bounds["hi"])
     chunks = plan_chunks(lsn_min, lsn_max, chunk_size)
@@ -134,74 +158,110 @@ def replay(
     rows_dropped = 0
     quarantine_path = None
     quarantine_null_path = None
-    if on_malformed != "fail" and todo:
-        clean, bad = split_malformed(events, table.key_col)
-        counts = bad.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count(F.when(F.col("lsn").isNull(), 1)).alias("n_null"),
-        ).collect()[0]
-        n_bad = int(counts["n"])
-        n_null = int(counts["n_null"])
-        if n_bad:
-            if on_malformed == "quarantine":
-                # a custom quarantine_dir gets the same per-range
-                # sub-dir layout as the default: malformed and
-                # constraint-violation datasets must be SIBLINGS, never
-                # one parquet dataset nested inside another (partition
-                # discovery over the parent would fail or conflate them)
-                qroot = quarantine_dir or os.path.join(table.root, "_quarantine")
-                # NULL-lsn rows stay in scope on every resume (they
-                # have no LSN home), so keying their dir by the PENDING
-                # window would re-divert the SAME rows under a new dir
-                # per resume and double-count them in a discovery scan
-                # over _quarantine/*. Keying by the raw STREAM bounds
-                # is stable across resumes (overwrite = idempotent
-                # redelivery) while a later, different-window ingest of
-                # the same table gets its own dir — its nulls must not
-                # destroy an earlier window's diagnostics. A grown
-                # stream (same lo, larger hi) re-sees and rewrites the
-                # old nulls, so sibling null dirs whose span this run's
-                # span CONTAINS are swept after a successful write.
-                null_lsn = bad.filter(F.col("lsn").isNull())
-                ranged = bad.filter(F.col("lsn").isNotNull())
-                if n_null:
-                    quarantine_null_path = os.path.join(
-                        qroot, f"range-null-{lsn_min}-{lsn_max}"
-                    )
-                    null_lsn.write.mode("overwrite").parquet(quarantine_null_path)
-                    _sweep_subsumed_null_dirs(qroot, lsn_min, lsn_max)
-                if n_bad - n_null:
-                    quarantine_path = os.path.join(
-                        qroot, f"range-{pend_lo}-{pend_hi}"
-                    )
-                    ranged.write.mode("overwrite").parquet(quarantine_path)
-                rows_quarantined = n_bad
-            else:
-                rows_dropped = n_bad
-            events = clean
-
     rows_violating = 0
     violations_path = None
-    if on_violation != "fail" and todo and table.constraints:
-        # a row that is ALSO malformed follows the malformed policy —
-        # it was diverted above (quarantine/drop) or will fail the
-        # upfront agg (fail) — so the constraint split must not claim
-        # it; both conjuncts are non-null booleans, so the negation in
-        # `passing` cannot silently drop rows
+    need_mal = on_malformed != "fail" and todo
+    need_viol = on_violation != "fail" and todo and bool(table.constraints)
+    n_bad = n_null = n_viol = 0
+    if need_mal or need_viol:
+        # ONE counting aggregation for both policies (a separate
+        # violating.count() job would rescan the stream). A row that
+        # is BOTH malformed and violating follows the malformed
+        # policy — the `mreason.isNull()` conjunct keeps it out of the
+        # violation split (both conjuncts are non-null booleans, so
+        # the negation in `passing` cannot silently drop rows).
+        mreason = malformed_reason(table.key_col)
+        aggs = [
+            F.count(F.when(mreason.isNotNull(), 1)).alias("n_bad"),
+            F.count(
+                F.when(mreason.isNotNull() & F.col("lsn").isNull(), 1)
+            ).alias("n_null"),
+        ]
+        if need_viol:
+            vreason = violation_reason(table.constraints)
+            aggs.append(
+                F.count(F.when(vreason.isNotNull() & mreason.isNull(), 1)).alias(
+                    "n_viol"
+                )
+            )
+        crow = events.agg(*aggs).collect()[0]
+        if need_mal:
+            n_bad, n_null = int(crow["n_bad"]), int(crow["n_null"])
+        if need_viol:
+            n_viol = int(crow["n_viol"])
+
+    # Quarantine dir naming, designed for three invariants a discovery
+    # scan over _quarantine/* depends on: (1) RESUME-IDEMPOTENT — a
+    # kill-and-resume or full redelivery must not double-divert a row
+    # under a second dir; (2) WINDOW-ISOLATED — a later ingest (other
+    # stream/table sharing the root) must never destroy an earlier
+    # window's diagnostics; (3) GROWTH-STABLE — a stream that grew
+    # keeps writing where it wrote before. All three follow from
+    # keying every dir by the stream's START (stable under growth and
+    # under resume, distinct across windows) + a table digest, and
+    # partitioning LSN-ranged rows by their chunk id with DYNAMIC
+    # partition overwrite: a resume rewrites exactly the still-pending
+    # chunks' partitions and leaves committed chunks' diagnostics in
+    # place. NULL-lsn rows have no chunk; they stay in scope every run
+    # (the complete set is re-seen), so whole-dir overwrite is exact.
+    qroot = quarantine_dir or os.path.join(table.root, "_quarantine")
+    stream_key = f"from-{lsn_min}-{_stream_tag(table.root)}"
+    chunk_id = F.expr(f"(lsn - {lsn_min}L) div {chunk_size}L").cast("int")
+
+    if need_mal and n_bad:
+        clean, bad = split_malformed(events, table.key_col)
+        if on_malformed == "quarantine":
+            # malformed and constraint-violation datasets must be
+            # SIBLINGS, never one parquet dataset nested inside
+            # another (partition discovery over the parent would fail
+            # or conflate them)
+            if n_null:
+                quarantine_null_path = os.path.join(
+                    qroot, f"range-null-{stream_key}"
+                )
+                bad.filter(F.col("lsn").isNull()).write.mode("overwrite").parquet(
+                    quarantine_null_path
+                )
+                # an earlier ALL-null run of this stream parked its rows
+                # in the unbounded dir; they are in this run's write, so
+                # retiring it keeps the discovery-scan count exact
+                shutil.rmtree(
+                    os.path.join(
+                        qroot, f"range-null-from-none-{_stream_tag(table.root)}"
+                    ),
+                    ignore_errors=True,
+                )
+            if n_bad - n_null:
+                quarantine_path = os.path.join(qroot, f"range-{stream_key}")
+                (
+                    bad.filter(F.col("lsn").isNotNull())
+                    .withColumn("_chunk", chunk_id)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_chunk")
+                    .parquet(quarantine_path)
+                )
+            rows_quarantined = n_bad
+        else:
+            rows_dropped = n_bad
+        events = clean
+
+    if need_viol and n_viol:
         vreason = violation_reason(table.constraints)
         is_viol = vreason.isNotNull() & malformed_reason(table.key_col).isNull()
         passing = events.filter(~is_viol)
         violating = events.withColumn("_reason", vreason).filter(is_viol)
-        n_viol = violating.count()
-        if n_viol:
-            if on_violation == "quarantine":
-                violations_path = os.path.join(
-                    quarantine_dir or os.path.join(table.root, "_quarantine"),
-                    f"range-{pend_lo}-{pend_hi}-checks",
-                )
-                violating.write.mode("overwrite").parquet(violations_path)
-            rows_violating = n_viol
-            events = passing
+        if on_violation == "quarantine":
+            violations_path = os.path.join(qroot, f"range-{stream_key}-checks")
+            (
+                violating.withColumn("_chunk", chunk_id)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_chunk")
+                .parquet(violations_path)
+            )
+        rows_violating = n_viol
+        events = passing
 
     # ONE upfront aggregation computes every chunk's per-bucket stats
     # (chunk index is a pure function of lsn and the deterministic

@@ -1009,11 +1009,11 @@ class LakeTable:
             [(k,) for k in keys],
             T.StructType([T.StructField("_k", key_field.dataType, True)]),
         )
+        # bucket_expr is THE bucket function (FORMAT_VERSION exists
+        # because it changed once) — never re-inline it
         buckets = [
             r["_b"]
-            for r in key_df.select(
-                F.pmod(F.hash(F.col("_k")), F.lit(self.n_buckets)).cast("int").alias("_b")
-            )
+            for r in key_df.select(bucket_expr("_k", self.n_buckets).alias("_b"))
             .distinct()
             .collect()
         ]
@@ -1263,26 +1263,28 @@ class LakeTable:
         # the clone points at; bounded reload-and-retry absorbs commit
         # races with concurrent writers
         dst_abs = os.path.abspath(dst_root)
-        for attempt in range(5):
-            src = LakeTable.load(src_root)
+
+        def _register() -> None:
+            src = LakeTable.load(src_root)  # fresh handle per attempt
             clones = list(src.meta.get("clones", []))
             if dst_abs in clones:
-                break
-            try:
-                src.commit({}, set(), None, meta_updates={"clones": clones + [dst_abs]})
-                break
-            except RuntimeError:
-                if attempt == 4:
-                    # an UNREGISTERED clone is silent data-loss bait:
-                    # the expire guard would never protect it. Fail
-                    # loudly; the clone dir itself is cheap to retry.
-                    raise RuntimeError(
-                        f"clone written to {dst_root} but its registration on "
-                        f"the source lost {attempt + 1} commit races; re-run "
-                        "clone_to (idempotent for the same destination) so "
-                        "retention can protect it"
-                    )
-                continue  # lost the race: reload and retry
+                return  # already registered: idempotent re-run
+            src.commit({}, set(), None, meta_updates={"clones": clones + [dst_abs]})
+
+        try:
+            retry_on_fork_rewind(_register, attempts=5)
+        except RuntimeError as exc:
+            if "fork/rewind" not in str(exc):
+                raise  # not a commit race: surface the real failure
+            # an UNREGISTERED clone is silent data-loss bait: the
+            # expire guard would never protect it. Fail loudly; the
+            # clone dir itself is cheap to retry.
+            raise RuntimeError(
+                f"clone written to {dst_root} but its registration on "
+                "the source lost 5 commit races; re-run clone_to "
+                "(idempotent for the same destination) so retention "
+                "can protect it"
+            ) from exc
         return clone
 
     def expire_snapshots(

@@ -89,3 +89,14 @@ def test_pending_chunks_raises_on_moved_window():
     # a grown tail after a FULL last chunk is fine: old chunks re-plan
     # with identical ranges, only the new chunk is pending
     assert [c[0] for c in pending_chunks(FakeTable(done), grown)] == [4]
+
+
+def test_plan_chunks_rejects_nonpositive_chunk_size():
+    import pytest
+
+    from medallion_etl_spark.cdc.manifest import plan_chunks
+
+    with pytest.raises(ValueError, match="chunk_size"):
+        plan_chunks(0, 100, 0)
+    with pytest.raises(ValueError, match="chunk_size"):
+        plan_chunks(0, 100, -5)

@@ -187,3 +187,47 @@ def test_merge_loses_to_newer_upstream_events(spark, tmp_path):
         for r in events.filter(F.col("lsn") > 1_000).select("doc_id").distinct().collect()
     )
     assert not (set(merged_only["doc_id"]) & tail_keys)
+
+
+def test_merge_classifies_null_keys_null_safely(spark, loaded):
+    """A NULL-key row is a normal LWW group everywhere else in the
+    engine (apply.py's broadcast path uses eqNullSafe); merge_into's
+    matched/not-matched classification must agree — plain equality
+    would leave a NULL-key row undeletable and re-insert it forever."""
+    table, before = loaded
+    schema = table.schema()
+
+    # upsert path (no classification join) can seed a NULL-key row
+    seed = before.head(1).copy()
+    seed["doc_id"] = None
+    seed["n_tok"] = 5
+    seed["lang"] = "nullkey"
+    from pyspark.sql.types import StructField, StructType
+
+    nullable = StructType(
+        [StructField(f.name, f.dataType, True) for f in schema.fields]
+    )
+    null_row = spark.createDataFrame(
+        seed[[f.name for f in schema.fields]], nullable
+    )
+    merge_into(spark, table, null_row)
+    t = LakeTable.load(table.root)
+    state = t.read(spark).toPandas()
+    assert state["doc_id"].isna().sum() == 1
+
+    # when_not_matched='insert' must classify the NULL key as MATCHED
+    # (update), never duplicate it
+    upd = null_row.withColumn("lang", F.lit("nullkey2"))
+    merge_into(spark, t, upd, when_matched="update", when_not_matched="insert")
+    t = LakeTable.load(table.root)
+    state = t.read(spark).toPandas()
+    nulls = state[state["doc_id"].isna()]
+    assert len(nulls) == 1
+    assert nulls.iloc[0]["lang"] == "nullkey2"
+
+    # when_matched='delete' must tombstone it
+    merge_into(spark, t, null_row, when_matched="delete", when_not_matched="skip")
+    state = LakeTable.load(table.root).read(spark).toPandas()
+    assert state["doc_id"].isna().sum() == 0
+    # and only the NULL-key row was touched
+    assert len(state) == len(before)

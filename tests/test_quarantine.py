@@ -151,8 +151,9 @@ def test_null_quarantine_survives_later_windows(spark, tmp_path):
     dir1 = res1["quarantine_null_path"]
     assert os.path.isdir(dir1)
 
-    # the stream GROWS (same lo, larger hi): resume re-sees the null
-    # row, writes the new bounds-keyed dir, sweeps the subsumed one
+    # the stream GROWS (same start, larger hi): the dir is keyed by
+    # the stream START, so the resume overwrites the SAME dir in
+    # place — no second dir, no double count
     grown = day1.unionByName(
         clean.limit(5).withColumn("lsn", F.col("lsn") + F.lit(1_000).cast("long"))
     )
@@ -165,9 +166,9 @@ def test_null_quarantine_survives_later_windows(spark, tmp_path):
         quarantine_dir=qroot,
     )
     dir2 = res2["quarantine_null_path"]
-    assert dir2 != dir1
-    assert not os.path.exists(dir1), "subsumed null dir must be swept"
+    assert dir2 == dir1, "growth must not move the null dir"
     assert spark.read.parquet(dir2).count() == 1
+    assert len([d for d in os.listdir(qroot) if d.startswith("range-null")]) == 1
 
     # a DISJOINT later window — another table's stream sharing the
     # same quarantine root (the one-table batch replayer pins one
@@ -191,6 +192,77 @@ def test_null_quarantine_survives_later_windows(spark, tmp_path):
     assert dir3 not in (dir1, dir2)
     assert os.path.exists(dir2), "earlier window's null diagnostics were destroyed"
     assert os.path.exists(dir3)
+
+
+def test_kill_and_resume_never_double_counts_quarantine(spark, tmp_path, streams):
+    """A mid-replay kill leaves some chunks committed; the resume
+    re-splits only the pending window. With chunk-partitioned dynamic
+    overwrite, the resume rewrites exactly the still-pending chunks'
+    partitions — a discovery scan over _quarantine/* counts every bad
+    row exactly once after the resume."""
+    dirty_path, _, n_bad = streams
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    res1 = replay(
+        spark,
+        spark.read.parquet(dirty_path),
+        table,
+        chunk_size=1_000,
+        max_batches=2,  # simulate a kill after 2 of the planned chunks
+        on_malformed="quarantine",
+    )
+    assert res1["batches_applied"] == 2
+    res2 = replay(
+        spark,
+        spark.read.parquet(dirty_path),
+        LakeTable.load(table.root),
+        chunk_size=1_000,
+        on_malformed="quarantine",
+    )
+    assert res2["batches_applied"] > 0
+    qroot = os.path.join(table.root, "_quarantine")
+    total = sum(
+        spark.read.parquet(os.path.join(qroot, d)).count() for d in os.listdir(qroot)
+    )
+    assert total == n_bad, f"discovery scan counted {total}, expected {n_bad}"
+
+
+def test_all_null_stream_follows_policy(spark, tmp_path):
+    """A stream where EVERY event has a NULL lsn has no chunk plan at
+    all — it must still route through the malformed policy, never
+    report clean success while silently discarding everything."""
+    clean = gen_events(spark, n_events=200, n_keys=20)
+    all_null = clean.withColumn("lsn", F.lit(None).cast("long"))
+
+    t1 = LakeTable.create(str(tmp_path / "t1"), n_buckets=4)
+    with pytest.raises(ValueError, match="200 malformed"):
+        replay(spark, all_null, t1, chunk_size=100)
+
+    t2 = LakeTable.create(str(tmp_path / "t2"), n_buckets=4)
+    res = replay(spark, all_null, t2, chunk_size=100, on_malformed="quarantine")
+    assert res["rows_quarantined"] == 200
+    assert res["quarantine_path"] is None
+    assert spark.read.parquet(res["quarantine_null_path"]).count() == 200
+    assert res["batches_applied"] == 0
+
+    t3 = LakeTable.create(str(tmp_path / "t3"), n_buckets=4)
+    res = replay(spark, all_null, t3, chunk_size=100, on_malformed="drop")
+    assert res["rows_dropped"] == 200
+    assert res["batches_applied"] == 0
+
+    # once the stream gains real lsns, the bounded run re-sees every
+    # null row and retires the unbounded dir — the scan stays exact
+    res2 = replay(
+        spark,
+        clean.unionByName(all_null.limit(3)),
+        LakeTable.load(t2.root),
+        chunk_size=100,
+        on_malformed="quarantine",
+    )
+    assert res2["rows_quarantined"] == 3
+    qroot = os.path.join(t2.root, "_quarantine")
+    null_dirs = [d for d in os.listdir(qroot) if d.startswith("range-null")]
+    assert len(null_dirs) == 1
+    assert spark.read.parquet(os.path.join(qroot, null_dirs[0])).count() == 3
 
 
 def test_all_null_bad_rows_keep_path_keys(spark, tmp_path):
