@@ -185,11 +185,13 @@ def cdc_change_feed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # chunk-0 watermark = lsn_min + chunk_size - 1 (plan_chunks contract),
-# chunk_size = max(event_id) // 2 — mirrored arithmetic, so both
-# engines cut the stream at the identical LSN
+# chunk_size = GREATEST(max(event_id) // 2, 1) — mirrored arithmetic
+# INCLUDING the 1-floor the Spark side applies (max(int(n) // 2, 1)),
+# so both engines cut the stream at the identical LSN even on a
+# degenerate 1-2 event stream
 CDC_CHANGE_FEED_SQL = """
 WITH wm AS (
-  SELECT min(event_id) + max(event_id) // 2 - 1 AS w FROM events
+  SELECT min(event_id) + GREATEST(max(event_id) // 2, 1) - 1 AS w FROM events
 ), latest AS (
   SELECT user_id, event_id, event_type, value,
          row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

@@ -248,6 +248,10 @@ def coverage_outputs(spark: SparkSession, sf: str) -> dict[str, DataFrame]:
     matter how many coverage outputs regroup it (exchange reuse is
     pinned by tests/test_coverage_gold.py)."""
     inner = coverage_inner_agg(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
+    return _build_outputs(inner)
+
+
+def _build_outputs(inner: DataFrame) -> dict[str, DataFrame]:
     return {
         "cobertura_vendedor_marca": _cov_output(inner, _VENDEDOR_GRAIN + ["marca"]),
         "cobertura_sucursal_marca": _cov_output(inner, _SUCURSAL_GRAIN + ["marca"]),
@@ -259,16 +263,27 @@ def coverage_outputs(spark: SparkSession, sf: str) -> dict[str, DataFrame]:
 
 # one persisted inner agg per (session, sf): the driver invokes each
 # coverage query separately, and without this cache every invocation
-# would re-persist (and re-scan the fact table for) its own copy
-_COVERAGE_CACHE: dict[str, tuple[int, dict[str, DataFrame]]] = {}
+# would re-persist (and re-scan the fact table for) its own copy.
+# Keyed by applicationId — id(spark) is unsound (CPython reuses freed
+# addresses, so a restarted session could hit a cache of dead frames)
+# — and the replaced entry's persisted inner agg is unpersisted so
+# stale blocks never accumulate.
+_COVERAGE_CACHE: dict[str, tuple[str, dict[str, DataFrame], DataFrame]] = {}
 
 
 def _cached_outputs(spark: SparkSession, sf: str) -> dict[str, DataFrame]:
+    app_id = spark.sparkContext.applicationId
     hit = _COVERAGE_CACHE.get(sf)
-    if hit is not None and hit[0] == id(spark):
+    if hit is not None and hit[0] == app_id:
         return hit[1]
-    outs = coverage_outputs(spark, sf)
-    _COVERAGE_CACHE[sf] = (id(spark), outs)
+    if hit is not None:
+        try:  # old session's cache: drop its persisted blocks if alive
+            hit[2].unpersist(blocking=False)
+        except Exception:
+            pass  # the old session is gone; nothing to release
+    inner = coverage_inner_agg(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
+    outs = _build_outputs(inner)
+    _COVERAGE_CACHE[sf] = (app_id, outs, inner)
     return outs
 
 

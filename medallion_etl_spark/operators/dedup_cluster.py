@@ -83,6 +83,7 @@ def connected_components(edges: DataFrame, max_rounds: int = _MAX_ROUNDS) -> Dat
             break
         prev_sum = new_sum
     else:
+        edges.unpersist()  # release the cache on the failure path too
         raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
     edges.unpersist()
     return labels

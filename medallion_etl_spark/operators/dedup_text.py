@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table as T
-from .util import spread
+from .util import persist_replacing, spread
 
 N_HASHES = 8
 N_BANDS = 4  # bands of 2 rows each
@@ -108,8 +108,11 @@ def ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
     # query (the same reuse pattern minhash_near_dup_pairs pins on its
     # signature frame; InMemoryTableScan asserted in
     # tests/test_plan_shapes.py)
-    sh = docs.select("doc_id", F.explode(_shingles(_words())).alias("shingle")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh = persist_replacing(
+        "jaccard_shingles",
+        sf,
+        docs.select("doc_id", F.explode(_shingles(_words())).alias("shingle")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = sh.join(
@@ -218,7 +221,9 @@ def _minhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
     # without it Spark recomputes the hashing 3x. The cached frame is
     # tiny (one row per doc); at 100 TB this is a materialized
     # signature table, the standard shape for LSH pipelines.
-    sig = docs.select("doc_id", _minhash_sig(_shingles(_words())).alias("mh")).persist()
+    sig = persist_replacing(
+        "minhash_sig", sf, docs.select("doc_id", _minhash_sig(_shingles(_words())).alias("mh"))
+    )
     bands = sig.select(
         "doc_id", "mh", F.explode(band_buckets(F.col("mh"))).alias("bk")
     ).select("doc_id", "mh", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
@@ -469,10 +474,11 @@ def dup_span_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
     # persisted for the same reason as the shingle frames above: the
     # window-frequency agg and the join-back are both built from it
-    flat = (
-        docs.filter(n >= DUP_SPAN_K)
-        .select("doc_id", F.explode(wins).alias("w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    flat = persist_replacing(
+        "dup_span_wins",
+        sf,
+        docs.filter(n >= DUP_SPAN_K).select("doc_id", F.explode(wins).alias("w")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     freq = flat.groupBy("w").agg(F.count_distinct("doc_id").alias("nd"))
     return (

@@ -35,8 +35,15 @@ def _sign() -> F.Column:
 
 def aggregate_snapshot(df: DataFrame, group_cols: list[str], measures: dict[str, str]) -> DataFrame:
     """Full recompute of the gold aggregate from a snapshot read —
-    the bootstrap (and the property-test oracle) for the delta path."""
+    the bootstrap (and the property-test oracle) for the delta path.
+    Each measure carries a ``_nn_<name>`` non-null contribution count
+    in the maintained state: SQL's SUM over zero non-null inputs is
+    NULL, and only that count can tell an all-NULL group (sum NULL)
+    apart from one whose contributions cancel to 0."""
     aggs = [F.sum(F.expr(expr)).alias(name) for name, expr in measures.items()]
+    aggs += [
+        F.count(F.expr(expr)).alias(f"_nn_{name}") for name, expr in measures.items()
+    ]
     aggs.append(F.count(F.lit(1)).alias("n_rows"))
     return df.groupBy(*group_cols).agg(*aggs)
 
@@ -47,6 +54,12 @@ def aggregate_delta(feed: DataFrame, group_cols: list[str], measures: dict[str, 
     aggs = [
         F.sum(F.expr(expr) * sign).alias(name) for name, expr in measures.items()
     ]
+    aggs += [
+        F.sum(F.when(F.expr(expr).isNotNull(), sign).otherwise(F.lit(0))).alias(
+            f"_nn_{name}"
+        )
+        for name, expr in measures.items()
+    ]
     aggs.append(F.sum(sign).alias("n_rows"))
     return feed.groupBy(*group_cols).agg(*aggs)
 
@@ -54,8 +67,12 @@ def aggregate_delta(feed: DataFrame, group_cols: list[str], measures: dict[str, 
 def apply_delta(gold: DataFrame, delta: DataFrame, group_cols: list[str], measures: dict[str, str]) -> DataFrame:
     """gold ⊕ delta by group key (full outer: new groups appear, and
     groups whose row count reaches zero disappear). NULL-safe on the
-    group key so NULL-group aggregates merge rather than duplicate."""
-    cols = [*measures.keys(), "n_rows"]
+    group key so NULL-group aggregates merge rather than duplicate.
+    A measure whose merged non-null count reaches zero comes out NULL,
+    not 0 — the delta-maintenance ≡ recompute contract includes NULL
+    sums."""
+    plain = [f"_nn_{m}" for m in measures] + ["n_rows"]
+    cols = [*measures.keys(), *plain]
     d = delta.select(
         *[F.col(c).alias(f"_d_{c}") for c in group_cols],
         *[F.col(c).alias(f"_dv_{c}") for c in cols],
@@ -65,12 +82,15 @@ def apply_delta(gold: DataFrame, delta: DataFrame, group_cols: list[str], measur
         clause = F.col(c).eqNullSafe(F.col(f"_d_{c}"))
         cond = clause if cond is None else (cond & clause)
     merged = gold.join(d, cond, "full_outer")
-    out_cols = [
-        F.coalesce(F.col(c), F.col(f"_d_{c}")).alias(c) for c in group_cols
-    ] + [
-        (F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"_dv_{c}"), F.lit(0))).alias(c)
-        for c in cols
-    ]
+
+    def _add(c: str) -> F.Column:
+        return F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"_dv_{c}"), F.lit(0))
+
+    out_cols = (
+        [F.coalesce(F.col(c), F.col(f"_d_{c}")).alias(c) for c in group_cols]
+        + [F.when(_add(f"_nn_{m}") > 0, _add(m)).alias(m) for m in measures]
+        + [_add(c).alias(c) for c in plain]
+    )
     return merged.select(*out_cols).filter(F.col("n_rows") > 0)
 
 

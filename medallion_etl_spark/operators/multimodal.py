@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.readers import load_table as T_
+from .util import spread
 
 N_SAMPLED = 4
 
@@ -103,7 +104,10 @@ def with_payload(docs: DataFrame) -> DataFrame:
 
 
 def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
-    docs = with_payload(T_(spark, sf, "documents"))
+    # documents is one input split on disk; per-row Python (hashlib in
+    # _extract_meta) needs the explicit repartition or it runs on ONE
+    # core (the same rule every heavy per-row operator follows)
+    docs = with_payload(spread(spark, T_(spark, sf, "documents")))
     return docs.mapInPandas(_extract_meta, META_SCHEMA).orderBy("doc_id")
 
 

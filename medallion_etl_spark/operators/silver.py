@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.exprs import bool_from_token, null_if_sentinel, safe_cast
+from ..functions.exprs import bool_from_token, null_if_sentinel, safe_cast, split_part
 
 VIGENTE = "9999-12-31"
 GROUPING_FORMS = ["MARCA", "GENERICO", "CALIBRE", "PROVEED", "UNIDAD DE NEGOCIO"]
@@ -50,7 +50,7 @@ def parse_sales(raw: DataFrame) -> DataFrame:
             safe_cast("cantidadesTotal", "decimal(15,4)")
             * F.abs(safe_cast("precioventabr", "decimal(15,4)"))
         ).cast("decimal(15,4)").alias("facturacion_neta"),
-        F.element_at(F.split("proveedor", " - "), 1).cast("int").alias("id_proveedor"),
+        split_part("proveedor", " - ", 1).cast("int").alias("id_proveedor"),
     )
 
 

@@ -63,7 +63,11 @@ def _estimate(n_kept: F.Column, kth: F.Column) -> F.Column:
 def kmv_by_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """(source, n_kept, kmv_estimate, exact_distinct) per group plus the
     merged ``__ALL__`` row — the reusable sketch core; see module doc."""
-    ev = df.select(
+    # NULL values are not distinct members (SQL COUNT(DISTINCT)
+    # ignores them) and their NULL hash would rank NULLS FIRST in
+    # Spark but NULLS LAST in DuckDB — filter before hashing so the
+    # kept sets agree cross-engine
+    ev = df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("source"),
         F.md5(F.encode(F.col(value_col).cast("string"), "UTF-8")).alias("h"),
     )
@@ -103,7 +107,7 @@ def kmv_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
 KMV_DISTINCT_USERS_SQL = f"""
 WITH h AS (
   SELECT DISTINCT event_type AS source, md5(CAST(user_id AS VARCHAR)) AS h
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 ranked AS (
   SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn

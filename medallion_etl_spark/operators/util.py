@@ -45,3 +45,27 @@ def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     concern — splits are plentiful — but the operator shape must not
     serialize on small inputs either."""
     return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+_PERSIST_SLOTS: dict[tuple, DataFrame] = {}
+
+
+def persist_replacing(slot: str, key, df: DataFrame, level=None) -> DataFrame:
+    """``persist()`` with a named slot: re-invoking the same operator
+    in one process (the driver window plus a verify pass, bench reps)
+    REPLACES — and unpersists — the previous invocation's intermediate
+    instead of stacking forgotten cached blocks for the session's
+    lifetime. Each invocation still computes fresh, so benchmarks
+    measure real work, not slot hits; only the abandoned old blocks
+    are released. Keyed by (applicationId, slot, key) so a restarted
+    session never reaches through a dead handle."""
+    k = (df.sparkSession.sparkContext.applicationId, slot, key)
+    old = _PERSIST_SLOTS.get(k)
+    if old is not None:
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # previous session gone: nothing to release
+    out = df.persist(level) if level is not None else df.persist()
+    _PERSIST_SLOTS[k] = out
+    return out

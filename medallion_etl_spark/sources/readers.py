@@ -108,6 +108,10 @@ def read_excel_rows(
         raise NotImplementedError(
             "Excel source needs an engine (openpyxl); not available in this environment"
         ) from e
+    # tolerate a sheet wider than the schema (trailing junk columns):
+    # drop the surplus BEFORE renaming — assigning a shorter name list
+    # than the column count is a pandas ValueError
+    pdf = pdf.iloc[:, : len(schema.fields)]
     pdf.columns = [f.name for f in schema.fields][: len(pdf.columns)]
     pdf["_row_order"] = range(len(pdf))
     df = spark.createDataFrame(pdf.astype(object).where(pd.notna(pdf), None))

@@ -72,10 +72,17 @@ def insert_if_absent(
         fresh = new_rows.join(existing, cond, "left_anti")
     else:
         fresh = new_rows
-    fresh = fresh.dropDuplicates(keys)
-    n = fresh.count()
-    if n:
-        fresh.write.mode("append").parquet(path)
+    # persist across count + write: two actions over the unpersisted
+    # anti-join would re-read the target parquet twice, and an append
+    # landing between them would make the returned count disagree with
+    # what this call wrote
+    fresh = fresh.dropDuplicates(keys).persist()
+    try:
+        n = fresh.count()
+        if n:
+            fresh.write.mode("append").parquet(path)
+    finally:
+        fresh.unpersist(blocking=False)
     return n
 
 

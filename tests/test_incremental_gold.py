@@ -23,8 +23,14 @@ MEASURES = {"sum_n_tok": "n_tok"}
 
 
 def _canon(df):
+    # NULL sums stay None: `or 0` here would mask the NULL-vs-0
+    # distinction the maintenance contract includes
     return sorted(
-        (r["source"], int(r["sum_n_tok"] or 0), int(r["n_rows"]))
+        (
+            r["source"],
+            None if r["sum_n_tok"] is None else int(r["sum_n_tok"]),
+            int(r["n_rows"]),
+        )
         for r in df.collect()
     )
 
@@ -101,4 +107,32 @@ def test_group_disappears_and_appears(spark, built):
     sources = {r["source"] for r in incr.select("source").collect()}
     assert victim not in sources
     assert "new-src" in sources
+    assert _canon(incr) == _canon(aggregate_snapshot(table.read(spark), GROUP, MEASURES))
+
+
+def test_all_null_measure_group_stays_null(spark, built):
+    """SUM over zero non-null inputs is NULL; a group whose every
+    contribution is NULL must come out NULL after maintenance, exactly
+    like the recompute — not coalesced to 0."""
+    max_lsn = built.max_committed_lsn()
+    rows = [
+        (max_lsn + 1 + i, "I", f"nullgrp-{i}", None, None, "null-src", None, 1)
+        for i in range(3)
+    ]
+    chunk = spark.createDataFrame(
+        rows,
+        "lsn long, op string, doc_id string, tokens array<int>, "
+        "n_tok long, source string, lang string, schema_version int",
+    )
+    v_before = built.version
+    gold_before = aggregate_snapshot(built.read(spark), GROUP, MEASURES)
+    apply_batch(
+        spark, built, chunk, batch_id=98, lsn_lo=max_lsn + 1,
+        lsn_hi=max_lsn + 3, merge_path="agg",
+    )
+    table = LakeTable.load(built.root)
+    incr = maintain_gold(spark, table, v_before, gold_before, GROUP, MEASURES)
+    row = incr.filter(F.col("source") == "null-src").collect()[0]
+    assert row["sum_n_tok"] is None
+    assert row["n_rows"] == 3
     assert _canon(incr) == _canon(aggregate_snapshot(table.read(spark), GROUP, MEASURES))
