@@ -36,10 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from medallion_etl_spark.pipeline import Phase, failed, run_pipeline
 from medallion_etl_spark.session import get_spark
 
+# Fixed bronze replay chunk size (see bronze_events: a data-derived
+# size breaks the second run over a grown stream).
+BRONZE_CHUNK_SIZE = 1_000_000
+
 
 def build_phases(spark, sf_dir: str, out_dir: str) -> list[Phase]:
-    from pyspark.sql import functions as F
-
     from medallion_etl_spark.cdc.replay import replay
     from medallion_etl_spark.cdc.table import LakeTable
     from medallion_etl_spark.operators.cdc_query import _as_change_stream
@@ -54,12 +56,16 @@ def build_phases(spark, sf_dir: str, out_dir: str) -> list[Phase]:
 
     def bronze_events():
         events = _as_change_stream(load_table(spark, sf_dir, "events"))
-        n = events.agg(F.max("lsn")).collect()[0][0] or 0
         if LakeTable.exists(table_root):
             table = LakeTable.load(table_root)
         else:
             table = LakeTable.create(table_root, n_buckets=8, schema_version=2)
-        res = replay(spark, events, table, chunk_size=max(int(n) // 4, 1))
+        # FIXED chunk size, never derived from the stream's current max
+        # LSN: chunk ids are a pure function of (bounds, chunk_size),
+        # so a size that moves when the stream grows would re-plan
+        # committed ids over different ranges and the manifest gate
+        # would (correctly) refuse the day-2 run of this cron.
+        res = replay(spark, events, table, chunk_size=BRONZE_CHUNK_SIZE)
         return {"rows_applied": res["rows_applied"]}
 
     def silver_docs():

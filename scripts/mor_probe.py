@@ -61,7 +61,12 @@ def main() -> None:
     # path by the workload params keeps a stale dir from an older
     # parameterization from silently skewing one side of the comparison
     path = os.path.join(SCRATCH, f"mor_probe_events_{total}_{N_KEYS}")
-    if not os.path.exists(path):
+    # key the reuse check on _SUCCESS, not the dir: a crashed (or
+    # concurrently starting) writer leaves a partial dir that a bare
+    # exists() would read as the full stream, silently skewing one
+    # side of the cow/mor comparison
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
         write_events_ordered(gen_events(spark, total, N_KEYS), path, n_files=32)
     events = spark.read.parquet(path)
 

@@ -71,14 +71,17 @@ def _stream(spark, sf_dir: str):
 
 
 def cmd_bronze(spark, args) -> dict:
-    from pyspark.sql import functions as F
-
     from medallion_etl_spark.cdc.replay import replay
 
     stream = _stream(spark, args.sf_dir)
-    n = stream.agg(F.max("lsn")).collect()[0][0] or 0
     table = _open_or_create(spark, args.out)
-    res = replay(spark, stream, table, chunk_size=max(int(n) // 4, 1))
+    # FIXED chunk size (CLI-settable), never derived from the stream's
+    # current max LSN: chunk ids are a pure function of (bounds,
+    # chunk_size), so a size that moves as the stream grows would
+    # re-plan committed ids over different ranges and the manifest
+    # gate would (correctly) refuse the second run.
+    chunk = int(getattr(args, "chunk_size", None) or 1_000_000)
+    res = replay(spark, stream, table, chunk_size=chunk)
     return {"rows_applied": res["rows_applied"], "batches": res["batches_applied"]}
 
 
@@ -402,6 +405,7 @@ def main() -> None:
 
     p = sub.add_parser("bronze")
     p.add_argument("entity", choices=["events"])
+    p.add_argument("--chunk-size", type=int, default=1_000_000)
     p = sub.add_parser("silver")
     p.add_argument("entity", choices=["docs"])
     p = sub.add_parser("gold")

@@ -103,7 +103,11 @@ def main() -> int:
     # SPARK_GRAFT_CPUS (default 32): fine sequentially, but K shards x
     # local[32] subprocess bursts oversubscribe the box — cap them to
     # the same width as the in-process test sessions
-    env.setdefault("SPARK_GRAFT_CPUS", "8")
+    # HARD cap, not setdefault: an exported SPARK_GRAFT_CPUS=32 (the
+    # bench default, natural to have in a shell) would re-enable the
+    # measured 4x collapse this cap exists to prevent
+    inherited = int(env.get("SPARK_GRAFT_CPUS", "8") or "8")
+    env["SPARK_GRAFT_CPUS"] = str(min(inherited, 8))
     t0 = time.perf_counter()
     procs = []
     for i, shard in enumerate(shards):

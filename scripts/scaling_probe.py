@@ -35,8 +35,11 @@ def _probe(parallelism: int) -> None:
 
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     conf = {"spark.local.dir": os.path.join(scratch, "spark-local")} if scratch else {}
+    # cap GC threads at 8 like bench._bench_conf: uncapped at --hi 32
+    # the probe would measure the GC thread storm, not the memory wall
+    gc_threads = max(min(parallelism, 8), 2)
     conf["spark.driver.extraJavaOptions"] = (
-        f"-XX:ParallelGCThreads={max(parallelism, 2)} -XX:ConcGCThreads={max(parallelism // 4, 1)}"
+        f"-XX:ParallelGCThreads={gc_threads} -XX:ConcGCThreads={max(gc_threads // 4, 1)}"
     )
     spark = get_spark(f"probe_{parallelism}", parallelism=parallelism, extra_conf=conf)
 

@@ -26,7 +26,10 @@ def _args(tmp_path, sf, **kw):
 
 
 def test_bronze_then_snapshot_and_changes(spark, tmp_path, sf_tiny):
-    res = cmd_bronze(spark, _args(tmp_path, sf_tiny))
+    # explicit chunk_size: the default (fixed 1M, never data-derived —
+    # a grown stream must re-plan identical chunk ids) would give one
+    # batch at this scale, and the test wants the multi-batch path
+    res = cmd_bronze(spark, _args(tmp_path, sf_tiny, chunk_size=400))
     assert res["rows_applied"] == 1000 and res["batches"] >= 2
     snap = cmd_snapshot(spark, _args(tmp_path, sf_tiny, version=1))
     assert snap["version"] == 1 and snap["rows"] > 0
@@ -277,7 +280,9 @@ def test_refresh_signatures_rebootstrap_after_restore(spark, tmp_path, sf_tiny):
     from pyspark.sql import functions as F
     from scripts.orchestrator import cmd_refresh_signatures, cmd_restore
 
-    cmd_bronze(spark, _args(tmp_path, sf_tiny))
+    # small chunks so bronze commits several versions (restore needs a
+    # STRICTLY older snapshot to target)
+    cmd_bronze(spark, _args(tmp_path, sf_tiny, chunk_size=400))
     sroot = str(tmp_path / "sig_table")
     cmd_refresh_signatures(spark, _args(tmp_path, sf_tiny, sig_root=sroot))
 
