@@ -128,13 +128,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # new in r4: exact-substring (K-word window) duplication stats —
     # takes the slot of exact_dedup_docs (green r1/r2/r3)
     "dup_span_stats",
-    # new in r4 (late): PII scrub + SemDeDup semantic pruning — take
-    # the slots of hectolitros_measure / doc_fingerprint (both ≥2
+    # new in r4 (late): PII scrub + SemDeDup semantic pruning + the
+    # documents×embeddings composition — take the slots of
+    # hectolitros_measure / doc_fingerprint / doc_token_stats (all ≥2
     # green rounds)
     "pii_scrub_stats",
     "semdedup_prune",
+    "semantic_curated_mix",
     # stable rotation (all ≥2 green rounds)
-    "doc_token_stats",
     "doc_quality_scores",
     "lang_id_ngram",
     "ngram_jaccard_topk",

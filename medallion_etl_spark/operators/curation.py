@@ -68,10 +68,13 @@ def curated_training_mix(spark: SparkSession, sf: str) -> DataFrame:
     return _curate(spread(spark, T(spark, sf, "documents")))
 
 
-def _curate(docs: DataFrame) -> DataFrame:
+def _curate(docs: DataFrame, sem_pruned: DataFrame | None = None) -> DataFrame:
     """The funnel over any docs-shaped frame (doc_id:int, text,
     n_chars, source) — raw parquet for the standalone query, a
-    MOR-merged LakeTable read for the composition flagship below."""
+    MOR-merged LakeTable read for the composition flagship below.
+    ``sem_pruned`` (a vec_id frame, keyed like doc_id) inserts the
+    SemDeDup semantic-dedup stage between decontamination and mix
+    sampling."""
     is_bench = F.col("doc_id") % 20 == 0
 
     # 1. quality gate (scan-level expression filter)
@@ -111,6 +114,16 @@ def _curate(docs: DataFrame) -> DataFrame:
         .join(F.broadcast(contaminated), "doc_id", "left_anti")
     )
 
+    # 3b. optional semantic-dedup stage: drop docs whose embedding the
+    #     SemDeDup pass pruned. The drop set is a pruned FRACTION of
+    #     the embedding table (small by construction), so this is a
+    #     broadcast anti-join — the surviving documents never shuffle;
+    #     docs without an embedding row pass through (partial embedding
+    #     coverage is the normal production state).
+    if sem_pruned is not None:
+        drop = sem_pruned.select(F.col("vec_id").cast("long").alias("doc_id"))
+        clean = clean.join(F.broadcast(drop), "doc_id", "left_anti")
+
     # 4. deterministic mix sampling (pure row expression, no rand())
     sampled = clean.filter(F.expr(f"{_MIX_BUCKET_SQL} < {_MIX_RATE_SQL}"))
 
@@ -131,7 +144,19 @@ def _curate(docs: DataFrame) -> DataFrame:
 
 _MIX_BUCKET_DUCK = _MIX_BUCKET_SQL.replace("AS STRING", "AS VARCHAR")
 
-CURATED_TRAINING_MIX_SQL = f"""
+
+def _curated_sql(sem: bool = False) -> str:
+    """One template for the funnel oracle and its semantic-stage
+    variant: ``sem`` splices in similarity.SEM_PRUNED_CTES (verbatim —
+    the twins cannot drift) and the corresponding NOT IN filter."""
+    from .similarity import SEM_PRUNED_CTES
+
+    sem_ctes = f""",
+{SEM_PRUNED_CTES}""" if sem else ""
+    sem_pred = (
+        "\n    AND q.doc_id NOT IN (SELECT vec_id FROM pruned)" if sem else ""
+    )
+    return f"""
 WITH feats AS (
   SELECT doc_id, source, n_chars, text,
          string_split(lower(text), ' ') AS words
@@ -161,12 +186,12 @@ hits AS (
 contaminated AS (
   SELECT h.doc_id FROM hits h JOIN sizes s USING (doc_id)
   WHERE h.n_hits * {CONTAM_DEN} >= s.n_sh * {CONTAM_NUM}
-), final AS (
+){sem_ctes}, final AS (
   SELECT q.source, q.n_chars, q.q
   FROM qual q
   JOIN canon USING (doc_id)
   WHERE q.doc_id % 20 <> 0
-    AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND q.doc_id NOT IN (SELECT doc_id FROM contaminated){sem_pred}
     AND ({_MIX_BUCKET_DUCK}) < ({_MIX_RATE_SQL})
 )
 SELECT source,
@@ -177,6 +202,9 @@ FROM final
 GROUP BY source
 ORDER BY source
 """
+
+
+CURATED_TRAINING_MIX_SQL = _curated_sql()
 
 
 # --------------------------------------------------------------------------
@@ -259,8 +287,32 @@ def curated_mix_over_mor_corpus(spark: SparkSession, sf: str) -> DataFrame:
     return _curate(spread(spark, docs_shaped))
 
 
+# --------------------------------------------------------------------------
+# Cross-table composition flagship: the funnel with a SEMANTIC dedup
+# stage — documents (text ops) x embeddings (vector ops) in one plan.
+# The SemDeDup drop set (similarity.sem_pruned_ids, the same
+# cell-bounded pass the standalone semdedup_prune query runs) anti-
+# joins the decontaminated survivors by doc_id = vec_id; documents
+# without an embedding pass through (partial embedding coverage is the
+# normal production state — at sf0.1 only 2000 of 5000 docs carry
+# one). Scale shape: the drop set is a pruned fraction of the
+# embedding table, so the stage is a broadcast anti-join — surviving
+# documents never shuffle, same as the decontamination stage.
+
+
+def semantic_curated_mix(spark: SparkSession, sf: str) -> DataFrame:
+    from .similarity import _sem_assigned, sem_pruned_ids
+
+    pruned = sem_pruned_ids(_sem_assigned(spark, sf))
+    return _curate(spread(spark, T(spark, sf, "documents")), sem_pruned=pruned)
+
+
+SEMANTIC_CURATED_MIX_SQL = _curated_sql(sem=True)
+
+
 QUERIES = {
     "curated_training_mix": (curated_training_mix, CURATED_TRAINING_MIX_SQL),
+    "semantic_curated_mix": (semantic_curated_mix, SEMANTIC_CURATED_MIX_SQL),
     # identical oracle on purpose: the MOR-maintained corpus must read
     # back as exactly the raw documents table
     "curated_mix_over_mor_corpus": (

@@ -516,10 +516,19 @@ ORDER BY query_id, rank
 SEM_TAU = 0.35  # calibrated: prunes ~13% of the synthetic corpus
 
 
-def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
+def _sem_assigned(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, cell, v, norm) with every vector assigned to its
+    refined coarse-quantizer cell."""
     n = _normed(spark, sf)
     cents = _refined_centroids(n)
-    data = n.withColumn("cell", _min_cell(F.col("v"), cents).getField("cell"))
+    return n.withColumn("cell", _min_cell(F.col("v"), cents).getField("cell"))
+
+
+def sem_pruned_ids(data: DataFrame) -> DataFrame:
+    """The SemDeDup drop set over an assigned frame: vec_ids with a
+    lower-vec_id cell-mate at cosine >= SEM_TAU (cell-bounded
+    equi-join — shared by semdedup_prune and the curation funnel's
+    semantic stage)."""
     keep = data.select(
         "cell",
         F.col("vec_id").alias("keep_id"),
@@ -527,14 +536,18 @@ def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
         F.col("norm").alias("kn"),
     )
     cos = F.round(_dot(F.col("kv"), F.col("v")) / (F.col("kn") * F.col("norm")), 6)
-    pruned = (
+    return (
         keep.join(data, ["cell"])
         .filter(F.col("keep_id") < F.col("vec_id"))
         .filter(cos >= SEM_TAU)
         .select("vec_id")
         .distinct()
-        .withColumn("is_pruned", F.lit(True))
     )
+
+
+def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
+    data = _sem_assigned(spark, sf)
+    pruned = sem_pruned_ids(data).withColumn("is_pruned", F.lit(True))
     return (
         data.join(pruned, ["vec_id"], "left")
         .select(
@@ -546,8 +559,10 @@ def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SEMDEDUP_PRUNE_SQL = f"""
-WITH n AS (
+# The CTE chain ending in `pruned` (the SemDeDup drop set) — shared
+# verbatim with the curation funnel's semantic-stage oracle so the two
+# SQL twins cannot drift.
+SEM_PRUNED_CTES = f"""n AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ), nn AS (
@@ -583,7 +598,10 @@ WITH n AS (
   SELECT DISTINCT b.vec_id
   FROM d a JOIN d b ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE round({_dot_sql('a.v', 'b.v')} / (a.norm * b.norm), 6) >= {SEM_TAU}
-)
+)"""
+
+SEMDEDUP_PRUNE_SQL = f"""
+WITH {SEM_PRUNED_CTES}
 SELECT d.vec_id, CAST(d.cell AS INT) AS cell,
        (p.vec_id IS NOT NULL) AS is_pruned
 FROM d LEFT JOIN pruned p ON p.vec_id = d.vec_id

@@ -131,3 +131,57 @@ def test_semdedup_pair_join_is_cell_bounded(spark, sf_tiny):
     p = _plan(semdedup_prune(spark, sf_tiny))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# --------------------------------------------------------------------------
+# Composition: the curation funnel's semantic stage
+
+
+def test_semantic_stage_insertion_is_otherwise_a_noop(spark, sf_tiny):
+    """With an EMPTY drop set the composition must equal the plain
+    funnel exactly — the stage's join plumbing perturbs nothing. (The
+    stage is NOT equivalent to pre-filtering the corpus: removing docs
+    up-front would change dedup canon selection and the benchmark
+    shingle set; the oracle parity sweep pins the real mid-funnel
+    values.)"""
+    from medallion_etl_spark.operators.curation import (
+        _curate,
+        curated_training_mix,
+    )
+    from medallion_etl_spark.operators.util import spread
+    from medallion_etl_spark.sources.readers import load_table
+
+    docs = spread(spark, load_table(spark, sf_tiny, "documents"))
+    empty = spark.range(0).select(F.col("id").alias("vec_id"))
+    rollup = lambda df: {  # noqa: E731
+        r["source"]: (r["n_docs"], r["total_chars"], r["sum_quality"])
+        for r in df.collect()
+    }
+    assert rollup(_curate(docs, sem_pruned=empty)) == rollup(
+        curated_training_mix(spark, sf_tiny)
+    )
+
+
+def test_semantic_stage_only_removes_docs(spark, sf_tiny):
+    """Per-source counts of the semantic composition are bounded above
+    by the plain funnel's, and at least one pruned doc was a funnel
+    survivor (the stage is exercised, not vacuous)."""
+    from medallion_etl_spark.operators.curation import (
+        curated_training_mix,
+        semantic_curated_mix,
+    )
+
+    plain = {r["source"]: r["n_docs"] for r in curated_training_mix(spark, sf_tiny).collect()}
+    sem = {r["source"]: r["n_docs"] for r in semantic_curated_mix(spark, sf_tiny).collect()}
+    assert set(sem) <= set(plain)
+    assert all(sem[s] <= plain[s] for s in sem)
+    assert sum(sem.values()) < sum(plain.values())
+
+
+def test_semantic_stage_is_a_broadcast_anti_join(spark, sf_tiny):
+    """The drop set must broadcast: the surviving documents never
+    reshuffle for the semantic stage."""
+    from medallion_etl_spark.operators.curation import semantic_curated_mix
+
+    p = _plan(semantic_curated_mix(spark, sf_tiny))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
