@@ -443,8 +443,13 @@ def _dist2_sql(a: str, b: str) -> str:
     )
 
 
-ANN_IVF_TOPK_SQL = f"""
-WITH n AS (
+# The deterministic coarse-quantizer CTE chain (normalize → seeds →
+# one decimal-exact Lloyd pass → final cell assignment `a2`). ONE
+# definition shared by every oracle that assigns cells
+# (ann_ivf_topk, semdedup_prune, semantic_curated_mix via
+# SEM_PRUNED_CTES) — the Spark twin is _refined_centroids/_min_cell,
+# also shared; keep them in lockstep.
+_QUANTIZER_CTES = f"""n AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ), nn AS (
@@ -472,7 +477,10 @@ WITH n AS (
   SELECT vec_id, cell,
          row_number() OVER (PARTITION BY vec_id ORDER BY {_dist2_sql('v', 'cv')}, cell) AS rn
   FROM n, cent
-), probes AS (
+)"""
+
+ANN_IVF_TOPK_SQL = f"""
+WITH {_QUANTIZER_CTES}, probes AS (
   SELECT q.vec_id AS query_id, cent.cell,
          row_number() OVER (PARTITION BY q.vec_id
                             ORDER BY {_dist2_sql('q.v', 'cv')}, cent.cell) AS rn
@@ -559,38 +567,10 @@ def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# The CTE chain ending in `pruned` (the SemDeDup drop set) — shared
-# verbatim with the curation funnel's semantic-stage oracle so the two
-# SQL twins cannot drift.
-SEM_PRUNED_CTES = f"""n AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-), nn AS (
-  SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS norm FROM n
-), seeds AS (
-  SELECT vec_id - {N_QUERIES} AS cell, v AS sv FROM n
-  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}
-), a1 AS (
-  SELECT vec_id, v, cell,
-         row_number() OVER (PARTITION BY vec_id ORDER BY {_dist2_sql('v', 'sv')}, cell) AS rn
-  FROM n, seeds
-), cent AS (
-  SELECT cell,
-         list(CAST(s AS DOUBLE) / cnt ORDER BY i) AS cv
-  FROM (
-    SELECT cell, t.i AS i,
-           SUM(CAST(v[t.i] AS DECIMAL(38,6))) AS s,
-           COUNT(*) AS cnt
-    FROM a1, range(1, {DIM + 1}) t(i)
-    WHERE rn = 1
-    GROUP BY cell, t.i
-  )
-  GROUP BY cell
-), a2 AS (
-  SELECT vec_id, cell,
-         row_number() OVER (PARTITION BY vec_id ORDER BY {_dist2_sql('v', 'cv')}, cell) AS rn
-  FROM n, cent
-), d AS (
+# The CTE chain ending in `pruned` (the SemDeDup drop set) — built on
+# the shared _QUANTIZER_CTES and spliced verbatim into the curation
+# funnel's semantic-stage oracle so the SQL twins cannot drift.
+SEM_PRUNED_CTES = f"""{_QUANTIZER_CTES}, d AS (
   SELECT asg.vec_id, asg.cell, nn.v, nn.norm
   FROM (SELECT vec_id, cell FROM a2 WHERE rn = 1) asg
   JOIN nn ON nn.vec_id = asg.vec_id
