@@ -17,6 +17,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from . import (
         asof,
         cdc_query,
+        chunking,
         coverage,
         curation,
         dedup_cluster,
@@ -54,6 +55,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         sessionize,
         scd,
         packing,
+        chunking,
         multimodal,
     ):
         out.update(mod.QUERIES)
