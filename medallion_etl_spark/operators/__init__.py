@@ -137,9 +137,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pii_scrub_stats",
     "semdedup_prune",
     "semantic_curated_mix",
+    # new in r4 (final): sliding-window chunking — takes the slot of
+    # lang_id_ngram (green r1/r2/r3)
+    "doc_chunk_inventory",
     # stable rotation (all ≥2 green rounds)
     "doc_quality_scores",
-    "lang_id_ngram",
     "ngram_jaccard_topk",
     "minhash_near_dup_pairs",
 )
