@@ -24,6 +24,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         dedup_incremental,
         dedup_text,
         incremental,
+        lm_quality,
         medallion,
         multimodal,
         packing,
@@ -48,6 +49,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         dedup_cluster,
         dedup_incremental,
         curation,
+        lm_quality,
         similarity,
         sketch,
         asof,
@@ -140,8 +142,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # new in r4 (final): sliding-window chunking — takes the slot of
     # lang_id_ngram (green r1/r2/r3)
     "doc_chunk_inventory",
+    # new in r4 (continuation): CCNet-style unigram-LM perplexity
+    # bucketing — takes the slot of doc_quality_scores (green r1/r2/r3)
+    "lm_perplexity_filter",
     # stable rotation (all ≥2 green rounds)
-    "doc_quality_scores",
     "ngram_jaccard_topk",
     "minhash_near_dup_pairs",
 )
