@@ -31,6 +31,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         rangejoin,
         repetition,
         scd,
+        selection,
         sessionize,
         similarity,
         sketch,
@@ -50,6 +51,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         dedup_incremental,
         curation,
         lm_quality,
+        selection,
         similarity,
         sketch,
         asof,
@@ -145,7 +147,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # new in r4 (continuation): CCNet-style unigram-LM perplexity
     # bucketing — takes the slot of doc_quality_scores (green r1/r2/r3)
     "lm_perplexity_filter",
-    # stable rotation (all ≥2 green rounds)
-    "ngram_jaccard_topk",
+    # new in r4 (continuation): token-budget corpus selection — takes
+    # the slot of ngram_jaccard_topk (green r1/r2/r3)
+    "token_budget_selection",
+    # stable rotation (≥3 green rounds)
     "minhash_near_dup_pairs",
 )
