@@ -30,6 +30,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         packing,
         rangejoin,
         repetition,
+        sampling,
         scd,
         selection,
         sessionize,
@@ -52,6 +53,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         curation,
         lm_quality,
         selection,
+        sampling,
         similarity,
         sketch,
         asof,
@@ -150,6 +152,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # new in r4 (continuation): token-budget corpus selection — takes
     # the slot of ngram_jaccard_topk (green r1/r2/r3)
     "token_budget_selection",
-    # stable rotation (≥3 green rounds)
-    "minhash_near_dup_pairs",
+    # new in r4 (continuation): stratified per-source sampling — takes
+    # the slot of minhash_near_dup_pairs (green r1/r2/r3). Its sibling
+    # temperature_mix_weights sits just past the window (oracle-paired,
+    # pytest + verify covered) — no remaining ≥3-green slot to take.
+    "stratified_sample_k",
 )
