@@ -96,6 +96,10 @@ HEADLINE = [
     "doc_length_percentiles",
     # round-4: exact-substring dup stats (digest shuffle + join-back)
     "dup_span_stats",
+    # round-4 continuation: LM scoring (explode + broadcast-LM join)
+    # and budget selection (bucket rollup + plan broadcast-back)
+    "lm_perplexity_filter",
+    "token_budget_selection",
 ]
 
 
