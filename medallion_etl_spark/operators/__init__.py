@@ -98,7 +98,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scd2_user_type",
     "packed_sequences",
     # r2-green only — rotate back in for a second green row
-    "simhash_clusters",
+    # (simhash_clusters rotated OUT late-r4: green r2 + sf0.01 verify
+    # this round; its slot goes to never-checked temperature_mix_weights)
     "embedding_near_dup_pairs",
     "ann_topk_bruteforce",
     "ann_lsh_topk",
@@ -153,8 +154,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the slot of ngram_jaccard_topk (green r1/r2/r3)
     "token_budget_selection",
     # new in r4 (continuation): stratified per-source sampling — takes
-    # the slot of minhash_near_dup_pairs (green r1/r2/r3). Its sibling
-    # temperature_mix_weights sits just past the window (oracle-paired,
-    # pytest + verify covered) — no remaining ≥3-green slot to take.
+    # the slot of minhash_near_dup_pairs (green r1/r2/r3).
     "stratified_sample_k",
+    # new in r4 (continuation): temperature-scaled mix weights — takes
+    # simhash_clusters' slot (green r2; a never-checked op beats a
+    # second green row for an r2-green one).
+    "temperature_mix_weights",
 )
