@@ -98,9 +98,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scd2_user_type",
     "packed_sequences",
     # r2-green only — rotate back in for a second green row
-    # (simhash_clusters rotated OUT late-r4: green r2 + sf0.01 verify
-    # this round; its slot goes to never-checked temperature_mix_weights)
-    "embedding_near_dup_pairs",
+    # (simhash_clusters / embedding_near_dup_pairs rotated OUT late-r4:
+    # green r2 + sf0.01 verify this round; their slots go to
+    # never-checked temperature_mix_weights and new dup_span_removal)
     "ann_topk_bruteforce",
     "ann_lsh_topk",
     "embedding_centroid_distance",
@@ -160,4 +160,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # simhash_clusters' slot (green r2; a never-checked op beats a
     # second green row for an r2-green one).
     "temperature_mix_weights",
+    # new in r4 (continuation): exact-substring duplicate-span removal
+    # — takes embedding_near_dup_pairs' slot (green r2).
+    "dup_span_removal",
 )

@@ -23,7 +23,7 @@ Scale shapes (the part that matters at 100 TB):
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table as T
@@ -523,8 +523,144 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Exact-substring duplicate-span REMOVAL (the transformation that
+# completes the dup_span_stats measurement): rewrite every document
+# with all-but-the-first occurrence of every duplicated K-word window
+# cut out — the "ExactSubstr" dedup of Lee et al. 2022 ("Deduplicating
+# Training Data Makes Language Models Better") / RefinedWeb, whose
+# suffix-array pass is re-expressed on the same shuffle-friendly
+# fixed-K window grid as dup_span_stats. Within-doc repeats count:
+# every occurrence past the global first (ordered by doc_id, pos) is
+# removed, and removal covers the K word positions under the window.
+#
+# Scale shape — deliberately JOIN-FREE:
+# - duplicate occurrences come from row_number() over the digest
+#   (one hash exchange carrying (doc_id, pos, 32-char digest), never
+#   text); a pathologically hot digest costs a sort, not an all-pairs
+#   candidate explosion the way a freq-join formulation would.
+# - coverage marking is the asof.py union + carry-forward-window
+#   pattern: word positions UNION removal starts, one exchange on
+#   doc_id, running max of the last start within K positions. Linear.
+# - reassembly shares the doc_id partitioning (window then groupBy on
+#   the same key — no extra exchange). The doc_id exchange carries
+#   single words (the rebuild's irreducible payload), never whole
+#   documents.
+
+
+def dup_span_removal(docs: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
+    """(doc_id, text) -> (doc_id, n_words, n_removed, kept_md5).
+
+    kept_md5 is md5 of the rewritten document (kept words joined by a
+    single space; empty string when everything was removed). Docs
+    shorter than k words carry no window and pass through untouched.
+    """
+    words = _words()
+    n = F.size(words)
+    wins = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.md5(F.encode(F.concat_ws(" ", F.slice(words, i, k)), "UTF-8")),
+    )
+    flat = (
+        docs.filter(n >= k)
+        .select("doc_id", F.posexplode(wins).alias("p0", "w"))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "w")
+    )
+    rn = F.row_number().over(Window.partitionBy("w").orderBy("doc_id", "pos"))
+    removal = flat.withColumn("rn", rn).filter(F.col("rn") > 1)
+    positions = docs.select(
+        "doc_id", F.posexplode(words).alias("p0", "word")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("p"),
+        "word",
+        F.lit(0).alias("s_flag"),
+    )
+    starts = removal.select(
+        "doc_id",
+        F.col("pos").alias("p"),
+        F.lit(None).cast("string").alias("word"),
+        F.lit(1).alias("s_flag"),
+    )
+    # at equal p the start sorts BEFORE the word row (s_flag desc), so a
+    # window starting at p already covers the word at p
+    carry = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("p").asc(), F.col("s_flag").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = positions.unionByName(starts).withColumn(
+        "last_s", F.max(F.when(F.col("s_flag") == 1, F.col("p"))).over(carry)
+    )
+    covered = F.col("last_s").isNotNull() & (F.col("last_s") >= F.col("p") - (k - 1))
+    word_rows = marked.filter(F.col("s_flag") == 0).withColumn(
+        "cov", covered.cast("int")
+    )
+    kept = F.concat_ws(
+        " ",
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.when(F.col("cov") == 0, F.struct("p", "word")))
+            ),
+            lambda x: x["word"],
+        ),
+    )
+    return word_rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("cov").alias("n_removed"),
+        F.md5(F.encode(kept, "UTF-8")).alias("kept_md5"),
+    )
+
+
+def dup_span_removal_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spread(spark, T(spark, sf, "documents"))
+    return dup_span_removal(docs, DUP_SPAN_K).orderBy("doc_id")
+
+
+DUP_SPAN_REMOVAL_SQL = f"""
+WITH wsrc AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+), flat AS (
+  SELECT doc_id, t.i AS pos,
+         md5(array_to_string(words[t.i:t.i+{DUP_SPAN_K - 1}], ' ')) AS w
+  FROM wsrc, unnest(range(1, len(words) - {DUP_SPAN_K - 2})) AS t(i)
+), removal AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+    FROM flat)
+  WHERE rn > 1
+), positions AS (
+  SELECT doc_id, t.p AS p, words[t.p] AS word, 0 AS s_flag
+  FROM wsrc, unnest(range(1, len(words) + 1)) AS t(p)
+), u AS (
+  SELECT doc_id, p, word, s_flag FROM positions
+  UNION ALL
+  SELECT doc_id, pos AS p, NULL AS word, 1 AS s_flag FROM removal
+), marked AS (
+  SELECT doc_id, p, word, s_flag,
+         max(CASE WHEN s_flag = 1 THEN p END) OVER (
+           PARTITION BY doc_id ORDER BY p ASC, s_flag DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_s
+  FROM u
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(CASE WHEN last_s IS NOT NULL AND last_s >= p - {DUP_SPAN_K - 1}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(
+           CASE WHEN last_s IS NULL OR last_s < p - {DUP_SPAN_K - 1} THEN word END,
+           ' ' ORDER BY p), '')) AS kept_md5
+FROM marked
+WHERE s_flag = 0
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_DOCS_SQL),
+    "dup_span_removal": (dup_span_removal_stats, DUP_SPAN_REMOVAL_SQL),
     "dup_span_stats": (dup_span_stats, DUP_SPAN_STATS_SQL),
     "decontaminate_against_benchmark": (
         decontaminate_against_benchmark,
