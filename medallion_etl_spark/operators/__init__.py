@@ -98,10 +98,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scd2_user_type",
     "packed_sequences",
     # r2-green only — rotate back in for a second green row
-    # (simhash_clusters / embedding_near_dup_pairs rotated OUT late-r4:
-    # green r2 + sf0.01 verify this round; their slots go to
-    # never-checked temperature_mix_weights and new dup_span_removal)
-    "ann_topk_bruteforce",
+    # (simhash_clusters / embedding_near_dup_pairs / ann_topk_bruteforce
+    # rotated OUT late-r4: green r2 + sf0.01 verify this round; their
+    # slots go to never-checked temperature_mix_weights and the new
+    # dup_span_removal / packed_batch_payloads)
     "ann_lsh_topk",
     "embedding_centroid_distance",
     "multimodal_meta",
@@ -163,4 +163,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # new in r4 (continuation): exact-substring duplicate-span removal
     # — takes embedding_near_dup_pairs' slot (green r2).
     "dup_span_removal",
+    # new in r4 (continuation): packed-batch payload materialization —
+    # takes ann_topk_bruteforce's slot (green r2).
+    "packed_batch_payloads",
 )

@@ -103,6 +103,144 @@ ORDER BY source, chunk_seq
 """
 
 
+# --------------------------------------------------------------------------
+# Packed-batch MATERIALIZATION: the step after chunk assignment — emit
+# the actual fixed-length token-id payload of every pack (what a
+# pretraining run writes to its training shards), as an md5 digest per
+# pack so the driver can value-gate it. Composes the hash-vocab
+# tokenizer (repetition.py) with concat-and-cut: each doc's token
+# stream is sliced across the packs it straddles, and each pack's
+# payload is the tok_before-ordered concatenation of its slices. Every
+# pack except a source's last carries exactly TOKEN_BUDGET tokens.
+#
+# Scale shape: ONE hash exchange (the per-source prefix-sum window;
+# the pack group-by is clustered by a superset of the same key, so
+# Catalyst reuses the partitioning — plan-pinned). Token ids ride that
+# single exchange, which is the irreducible payload of batch
+# materialization. The explode fan-out per doc is 1 + straddled packs
+# (ceil(n_tok/budget) worst case), never quadratic. A pathologically
+# hot source is sharded by generalizing the pack key to (source,
+# doc_id % n_shards) — chunk_assign already takes arbitrary key_cols;
+# per-source keys match the per-source shard streams published
+# pipelines cut anyway.
+
+
+def packed_batch_payloads(spark: SparkSession, sf: str) -> DataFrame:
+    from .repetition import _token_id
+
+    budget = TOKEN_BUDGET
+    docs = T(spark, sf, "documents")
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: F.length(w) > 0)
+    ids = F.transform(words, _token_id)
+    toks = docs.select(
+        "doc_id", "source", ids.alias("ids"), F.size(ids).alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = toks.withColumn("tok_before", F.sum("n_tok").over(w) - F.col("n_tok"))
+    first_p = F.floor(F.col("tok_before") / budget)
+    last_p = F.floor((F.col("tok_before") + F.col("n_tok") - 1) / budget)
+    spans = pre.select(
+        "source",
+        "ids",
+        "n_tok",
+        "tok_before",
+        F.explode(F.sequence(first_p, last_p)).alias("pack_id"),
+    )
+    lo = F.greatest(F.col("pack_id") * budget - F.col("tok_before"), F.lit(0))
+    hi = F.least(
+        (F.col("pack_id") + 1) * budget - F.col("tok_before"), F.col("n_tok")
+    )
+    piece = F.concat_ws(
+        ",",
+        F.transform(
+            F.slice("ids", (lo + 1).cast("int"), (hi - lo).cast("int")),
+            lambda x: x.cast("string"),
+        ),
+    )
+    sliced = spans.select(
+        "source",
+        "pack_id",
+        "tok_before",
+        (hi - lo).alias("n_in_pack"),
+        piece.alias("piece"),
+    )
+    payload = F.md5(
+        F.encode(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("tok_before", "piece"))),
+                    lambda x: x["piece"],
+                ),
+            ),
+            "UTF-8",
+        )
+    )
+    return (
+        sliced.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_in_pack").alias("n_tokens"),
+            payload.alias("payload_md5"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+def _payloads_sql() -> str:
+    from .repetition import VOCAB_SIZE
+
+    from ..functions.exprs import md5_bucket_sql
+
+    tid = md5_bucket_sql("w", VOCAB_SIZE)
+    b = TOKEN_BUDGET
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_transform(list_filter(string_split(lower(text), ' '),
+                                    w -> length(w) > 0),
+                        w -> {tid}) AS ids
+  FROM documents
+), sized AS (
+  SELECT doc_id, source, ids, len(ids) AS n_tok FROM toks WHERE len(ids) > 0
+), pre AS (
+  SELECT doc_id, source, ids, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS tok_before
+  FROM sized
+), spans AS (
+  SELECT source, ids, n_tok, tok_before, t.p AS pack_id
+  FROM pre, unnest(range(CAST(FLOOR(tok_before / {b}) AS BIGINT),
+                         CAST(FLOOR((tok_before + n_tok - 1) / {b}) AS BIGINT) + 1))
+       AS t(p)
+), pieces AS (
+  SELECT source, pack_id, tok_before,
+         LEAST((pack_id + 1) * {b} - tok_before, n_tok)
+           - GREATEST(pack_id * {b} - tok_before, 0) AS n_in_pack,
+         array_to_string(
+           ids[CAST(GREATEST(pack_id * {b} - tok_before, 0) + 1 AS BIGINT)
+               :CAST(LEAST((pack_id + 1) * {b} - tok_before, n_tok) AS BIGINT)],
+           ',') AS piece
+  FROM spans
+)
+SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_in_pack) AS BIGINT) AS n_tokens,
+       md5(string_agg(piece, ',' ORDER BY tok_before)) AS payload_md5
+FROM pieces
+GROUP BY source, pack_id
+ORDER BY source, pack_id
+"""
+
+
+PACKED_BATCH_PAYLOADS_SQL = _payloads_sql()
+
+
 QUERIES = {
     "packed_sequences": (packed_sequences, PACKED_SEQUENCES_SQL),
+    "packed_batch_payloads": (packed_batch_payloads, PACKED_BATCH_PAYLOADS_SQL),
 }
