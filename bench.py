@@ -100,6 +100,11 @@ HEADLINE = [
     # and budget selection (bucket rollup + plan broadcast-back)
     "lm_perplexity_filter",
     "token_budget_selection",
+    # round-4 continuation: join-free exact-substring removal (digest
+    # row_number + carry-forward window) and packed-batch payloads
+    # (tokenize x concat-and-cut, single exchange)
+    "dup_span_removal",
+    "packed_batch_payloads",
 ]
 
 
