@@ -99,10 +99,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "packed_sequences",
     # r2-green only — rotate back in for a second green row
     # (simhash_clusters / embedding_near_dup_pairs / ann_topk_bruteforce
-    # rotated OUT late-r4: green r2 + sf0.01 verify this round; their
-    # slots go to never-checked temperature_mix_weights and the new
-    # dup_span_removal / packed_batch_payloads)
-    "ann_lsh_topk",
+    # / ann_lsh_topk rotated OUT late-r4: green r2 + sf0.01 verify this
+    # round; their slots go to never-checked temperature_mix_weights
+    # and the new dup_span_removal / packed_batch_payloads /
+    # shuffled_shards)
     "embedding_centroid_distance",
     "multimodal_meta",
     # red in r03 (driver canonicalizer); compared column now a string
@@ -166,4 +166,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # new in r4 (continuation): packed-batch payload materialization —
     # takes ann_topk_bruteforce's slot (green r2).
     "packed_batch_payloads",
+    # new in r4 (continuation): deterministic shuffle + shard cutting —
+    # takes ann_lsh_topk's slot (green r2).
+    "shuffled_shards",
 )

@@ -171,6 +171,121 @@ FROM fb JOIN plan p USING (qbucket)
 ORDER BY doc_id
 """
 
+# --------------------------------------------------------------------------
+# Deterministic corpus shuffle + fixed-token-budget shard cutting: the
+# LAST step of a training-data build — randomize document order
+# (deterministically, so retries/engines/partitionings agree) and cut
+# the stream into training shards of SHARD_TOKENS whitespace tokens
+# (concat-and-cut: a doc belongs to the shard its first token lands
+# in). The naive formulation is a global sort by the shuffle hash with
+# a running token total — a single-partition window over the whole
+# corpus. This computes the same assignment with NO global row sort,
+# by the same decomposition as token_budget_selection:
+#
+# 1. shuffle key h = md5('shuffle|' || doc_id) (change the salt string
+#    to reshuffle); hash bucket = h's first 2 hex chars — 256
+#    ORDER-PRESERVING buckets (h starts with its bucket, so bucket-asc
+#    then (h, doc_id)-asc IS the global (h, doc_id) order);
+# 2. within-bucket running token totals (hash exchange on hbucket,
+#    parallel); per-bucket totals roll up to a 256-row table whose
+#    running sum is the bucket's global offset — the only
+#    single-partition window, bounded state forever (at 100 TB widen
+#    the prefix to 4-5 hex chars: 64k-1M rows, still tiny);
+# 3. offsets broadcast back: global_before = bucket_before +
+#    within_before; shard = floor(global_before / SHARD_TOKENS).
+#
+# Scale shape: text is pruned at the scan (only doc_id/source/n_tok/h
+# move); the doc-bearing exchanges are the hbucket window and the
+# shard rollup — both plain hash shuffles of fixed-width rows. The
+# oracle runs the NAIVE global-window formulation in DuckDB, so the
+# driver gate is exactly the bucketed-decomposition ≡ global-sort
+# equivalence proof.
+
+SHARD_TOKENS = 4096
+_SHUFFLE_SALT = "shuffle|"
+
+
+def shuffle_shard_assign(
+    docs: DataFrame, shard_tokens: int = SHARD_TOKENS, slot: str = "shuffle_feats"
+) -> DataFrame:
+    """(doc_id, text, source?) -> per-doc (doc_id, n_tok, h,
+    global_before, shard). Deterministic in doc_id alone."""
+    h = F.md5(
+        F.encode(F.concat(F.lit(_SHUFFLE_SALT), F.col("doc_id").cast("string")), "UTF-8")
+    )
+    n_tok = F.size(F.split(F.lower("text"), " "))
+    feats = docs.select(
+        "doc_id", n_tok.alias("n_tok"), h.alias("h")
+    ).withColumn("hbucket", F.substring("h", 1, 2))
+    within = (
+        F.sum("n_tok").over(Window.partitionBy("hbucket").orderBy("h", "doc_id"))
+        - F.col("n_tok")
+    )
+    feats = persist_replacing(slot, "generic", feats.withColumn("within_before", within))
+    buckets = feats.groupBy("hbucket").agg(F.sum("n_tok").alias("bucket_toks"))
+    cum = F.sum("bucket_toks").over(Window.orderBy("hbucket"))
+    offs = buckets.select(
+        "hbucket", (cum - F.col("bucket_toks")).alias("bucket_before")
+    )
+    gb = F.col("bucket_before") + F.col("within_before")
+    return feats.join(F.broadcast(offs), "hbucket").select(
+        "doc_id",
+        "n_tok",
+        "h",
+        gb.alias("global_before"),
+        F.floor(gb / shard_tokens).alias("shard"),
+    )
+
+
+def shuffled_shards(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spread(spark, T(spark, sf, "documents"))
+    per_doc = shuffle_shard_assign(docs, SHARD_TOKENS, slot=f"shuffle_feats:{sf}")
+    docs_md5 = F.md5(
+        F.encode(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("h", "doc_id"))),
+                    lambda x: x["doc_id"].cast("string"),
+                ),
+            ),
+            "UTF-8",
+        )
+    )
+    return (
+        per_doc.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            docs_md5.alias("docs_md5"),
+        )
+        .orderBy("shard")
+    )
+
+
+SHUFFLED_SHARDS_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS n_tok,
+         md5('{_SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), g AS (
+  SELECT doc_id, n_tok, h,
+         CAST(SUM(n_tok) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) - n_tok AS global_before
+  FROM f
+)
+SELECT CAST(FLOOR(global_before / {SHARD_TOKENS}) AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id)) AS docs_md5
+FROM g
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "token_budget_selection": (token_budget_selection, TOKEN_BUDGET_SELECTION_SQL),
+    "shuffled_shards": (shuffled_shards, SHUFFLED_SHARDS_SQL),
 }

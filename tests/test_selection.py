@@ -66,3 +66,77 @@ def test_boundary_prefix_is_maximal(spark, sf_tiny):
             f"doc {r['doc_id']}: prefix rule violated at cum={cum}, "
             f"remaining={remaining}"
         )
+
+
+# --------------------------------------------------------------------------
+# deterministic shuffle + shard cutting
+
+
+def _brute_shards(docs, shard_tokens):
+    """Python oracle: global (h, doc_id) order, running prefix, cut."""
+    import hashlib
+
+    rows = []
+    for doc_id, text in docs:
+        n_tok = len(text.lower().split(" "))
+        h = hashlib.md5(f"shuffle|{doc_id}".encode()).hexdigest()
+        rows.append((h, doc_id, n_tok))
+    rows.sort()
+    out, before = {}, 0
+    for h, doc_id, n_tok in rows:
+        out[doc_id] = (before // shard_tokens, before)
+        before += n_tok
+    return out
+
+
+def test_shard_assignment_matches_global_sort_oracle(spark):
+    import random
+
+    from medallion_etl_spark.operators.selection import shuffle_shard_assign
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(f"w{rng.randrange(40)}" for _ in range(rng.randint(1, 300))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.shard, r.global_before)
+        for r in shuffle_shard_assign(df, 500, slot="t_shard").collect()
+    }
+    assert got == _brute_shards(docs, 500)
+
+
+def test_shards_conserve_tokens_and_are_deterministic(spark, sf_tiny):
+    from pyspark.sql import functions as F
+
+    from medallion_etl_spark.operators.selection import shuffled_shards
+    from medallion_etl_spark.sources.readers import load_table as T
+
+    a = shuffled_shards(spark, sf_tiny).toPandas()
+    b = shuffled_shards(spark, sf_tiny).toPandas()
+    assert a.equals(b)
+    total = (
+        T(spark, sf_tiny, "documents")
+        .select(F.size(F.split(F.lower("text"), " ")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert int(a.n_tokens.sum()) == total
+    assert a.n_docs.sum() == T(spark, sf_tiny, "documents").count()
+
+
+def test_shards_plan_has_no_global_row_sort(spark, sf_tiny):
+    from medallion_etl_spark.operators.selection import shuffled_shards
+
+    plan = (
+        shuffled_shards(spark, sf_tiny)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the only range partitioning is the final orderBy of the tiny
+    # per-shard rollup — the doc-bearing frame is never globally sorted
+    assert plan.count("rangepartitioning") == 1, plan
