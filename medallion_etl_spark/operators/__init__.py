@@ -24,6 +24,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         dedup_incremental,
         dedup_text,
         incremental,
+        ivm,
         lm_quality,
         medallion,
         multimodal,
@@ -50,6 +51,7 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
         dedup_text,
         dedup_cluster,
         dedup_incremental,
+        ivm,
         curation,
         lm_quality,
         selection,
@@ -99,11 +101,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "packed_sequences",
     # r2-green only — rotate back in for a second green row
     # (simhash_clusters / embedding_near_dup_pairs / ann_topk_bruteforce
-    # / ann_lsh_topk rotated OUT late-r4: green r2 + sf0.01 verify this
-    # round; their slots go to never-checked temperature_mix_weights
-    # and the new dup_span_removal / packed_batch_payloads /
-    # shuffled_shards)
-    "embedding_centroid_distance",
+    # / ann_lsh_topk / embedding_centroid_distance rotated OUT late-r4:
+    # green r2 + sf0.01 verify this round; their slots go to
+    # never-checked temperature_mix_weights and the new
+    # dup_span_removal / packed_batch_payloads / shuffled_shards /
+    # ivm_source_stats)
     "multimodal_meta",
     # red in r03 (driver canonicalizer); compared column now a string
     "tokenize_documents",
@@ -169,4 +171,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # new in r4 (continuation): deterministic shuffle + shard cutting —
     # takes ann_lsh_topk's slot (green r2).
     "shuffled_shards",
+    # new in r4 (continuation): algebraic incremental-aggregate
+    # maintenance — takes embedding_centroid_distance's slot (green r2).
+    "ivm_source_stats",
 )
