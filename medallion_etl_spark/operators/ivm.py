@@ -144,7 +144,20 @@ def refresh_agg(
             f"since_version={since_version} (out-of-order/overlapping "
             "spans corrupt read-modify-write totals)"
         )
-    if cursor >= corpus.version:
+    if cursor > corpus.version:
+        # the corpus was RESTOREd below the cursor: the standing totals
+        # include contributions of undone rows and NO feed span can
+        # retract them (restored rows resurface at their ORIGINAL
+        # LSNs). Silent skip would freeze wrong totals forever — same
+        # loud-gate treatment as read_changes across a RESTORE; rebuild
+        # via build-aside + swap (bootstrap_agg on a fresh table).
+        raise ValueError(
+            f"aggregate cursor {cursor} is ahead of corpus version "
+            f"{corpus.version} (RESTORE below the cursor): totals "
+            "cannot be rolled back by a feed — rebootstrap the "
+            "aggregate table (build-aside + swap)"
+        )
+    if cursor == corpus.version:
         return {"skipped_empty": True, "batch_id": None, "rows_applied": 0}
 
     def _run() -> dict:

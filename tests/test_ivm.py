@@ -165,3 +165,31 @@ def test_bootstrap_refuses_non_empty_table(spark, crafted):
     root, aroot, _step = crafted
     with pytest.raises(ValueError, match="empty aggregate table"):
         bootstrap_agg(spark, LakeTable.load(root), LakeTable.load(aroot))
+
+
+def test_restore_below_cursor_is_refused_and_rebootstrap_recovers(
+    spark, crafted, tmp_path
+):
+    root, aroot, step = crafted
+    v_mid = LakeTable.load(root).version
+    step()
+    refresh_agg(spark, LakeTable.load(root), LakeTable.load(aroot))
+    # corpus data rolls back below the cursor (restore is a
+    # roll-forward COMMIT, so the refusal comes from read_changes's
+    # restore gate): totals include undone rows no feed can retract ->
+    # loud refusal, not a silent freeze
+    LakeTable.load(root).restore(v_mid)
+    with pytest.raises(ValueError, match="re-?bootstrap"):
+        refresh_agg(spark, LakeTable.load(root), LakeTable.load(aroot))
+    # recovery: build-aside bootstrap from the restored snapshot
+    rroot = str(tmp_path / "rebuild")
+    bootstrap_agg(spark, LakeTable.load(root), create_agg_table(rroot, n_buckets=4))
+    assert _totals(spark, LakeTable.load(rroot)) == _full_recompute(
+        spark, LakeTable.load(root)
+    )
+    # resumed tail chunks then flow through the normal refresh path
+    step()
+    refresh_agg(spark, LakeTable.load(root), LakeTable.load(rroot))
+    assert _totals(spark, LakeTable.load(rroot)) == _full_recompute(
+        spark, LakeTable.load(root)
+    )
