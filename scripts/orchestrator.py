@@ -305,6 +305,69 @@ def cmd_refresh_signatures(spark, args) -> dict:
     }
 
 
+def cmd_refresh_agg(spark, args) -> dict:
+    """Maintain the derived per-source totals table from the main
+    table's change feed (operators/ivm.py — the algebraic
+    +postimage−preimage class): bootstrap on first run, then advance by
+    exactly the versions committed since the recorded cursor. Totals
+    are read-modify-write, so refresh_agg itself enforces span
+    contiguity; this command just reads the cursor and re-runs safely
+    from cron like refresh-signatures."""
+    import shutil
+
+    from medallion_etl_spark.cdc.table import LakeTable
+    from medallion_etl_spark.operators.ivm import (
+        agg_cursor,
+        bootstrap_agg,
+        create_agg_table,
+        refresh_agg,
+    )
+
+    corpus = LakeTable.load(_table_root(args.out))
+    if getattr(args, "rebootstrap", False) and LakeTable.exists(args.agg_root):
+        # post-RESTORE recovery: totals include contributions of undone
+        # rows no feed can retract — build-aside + swap, same crash
+        # contract as refresh-signatures --rebootstrap
+        rebuild = f"{args.agg_root.rstrip(os.sep)}.rebuild-{os.getpid()}"
+        shutil.rmtree(rebuild, ignore_errors=True)
+        new_agg = create_agg_table(rebuild)
+        out = bootstrap_agg(spark, corpus, new_agg)
+        shutil.rmtree(args.agg_root)
+        os.rename(rebuild, args.agg_root)
+        return {
+            "agg_root": args.agg_root,
+            "bootstrapped": True,
+            "since_version": 0,
+            "to_version": corpus.version,
+            "rows_applied": int(out.get("rows_applied", 0)),
+            "skipped": False,
+        }
+    if LakeTable.exists(args.agg_root):
+        agg = LakeTable.load(args.agg_root)
+        since = agg_cursor(agg)
+        try:
+            out = refresh_agg(spark, corpus, agg)
+        except ValueError as e:
+            raise SystemExit(
+                f"refresh-agg: {e}\n(recover with --rebootstrap: rebuilds "
+                "the totals table from the current corpus snapshot)"
+            ) from e
+        bootstrapped = False
+    else:
+        agg = create_agg_table(args.agg_root)
+        since = 0
+        out = bootstrap_agg(spark, corpus, agg)
+        bootstrapped = True
+    return {
+        "agg_root": args.agg_root,
+        "bootstrapped": bootstrapped,
+        "since_version": int(since),
+        "to_version": corpus.version,
+        "rows_applied": int(out.get("rows_applied", 0)),
+        "skipped": bool(out.get("skipped") or out.get("skipped_empty")),
+    }
+
+
 def cmd_restore(spark, args) -> dict:
     from medallion_etl_spark.cdc.table import LakeTable
 
@@ -482,6 +545,19 @@ def main() -> None:
         "snapshot (required after a corpus RESTORE: stale higher-LSN "
         "signatures cannot be reverted through the LWW feed)",
     )
+    p = sub.add_parser("refresh-agg")
+    p.add_argument(
+        "--agg-root",
+        required=True,
+        help="root of the derived per-source totals LakeTable (created on first run)",
+    )
+    p.add_argument(
+        "--rebootstrap",
+        action="store_true",
+        help="drop and rebuild the totals table from the current corpus "
+        "snapshot (required after a corpus RESTORE: read-modify-write "
+        "totals cannot be rolled back through the feed)",
+    )
     p = sub.add_parser("restore")
     p.add_argument("version", help="older snapshot version to roll the table back to")
     p = sub.add_parser("merge")
@@ -536,6 +612,7 @@ def main() -> None:
         "convert": cmd_convert,
         "clone": cmd_clone,
         "refresh-signatures": cmd_refresh_signatures,
+        "refresh-agg": cmd_refresh_agg,
         "restore": cmd_restore,
         "merge": cmd_merge,
         "add-constraint": cmd_add_constraint,

@@ -306,3 +306,54 @@ def test_refresh_signatures_rebootstrap_after_restore(spark, tmp_path, sf_tiny):
         for r in LakeTable.load(sroot).read(spark).collect()
     }
     assert got == exp
+
+
+def test_refresh_agg_cursor_rerun_and_rebootstrap(spark, tmp_path, sf_tiny):
+    """refresh-agg bootstraps the totals table on first run, advances
+    by exactly the new versions, skips when caught up, fails with
+    guidance across a RESTORE, and --rebootstrap rebuilds."""
+    from pyspark.sql import functions as F
+
+    from medallion_etl_spark.cdc.table import LakeTable
+    from medallion_etl_spark.operators.ivm import _contrib
+    from scripts.orchestrator import cmd_refresh_agg, cmd_restore
+
+    def expected():
+        corpus = LakeTable.load(str(tmp_path / "docs_table"))
+        rows = (
+            _contrib(
+                corpus.read(spark, raw=True).filter(
+                    ~F.coalesce(F.col("_deleted"), F.lit(False))
+                ),
+                1,
+            )
+            .groupBy("source")
+            .agg(F.sum("d_rows").alias("n"), F.sum("d_tok").alias("s"))
+            .collect()
+        )
+        return {r["source"]: (r["n"], r["s"]) for r in rows}
+
+    def got(aroot):
+        return {
+            r["source"]: (r["n_rows"], r["sum_tok"])
+            for r in LakeTable.load(aroot).read(spark).collect()
+        }
+
+    cmd_bronze(spark, _args(tmp_path, sf_tiny, chunk_size=400))
+    aroot = str(tmp_path / "agg_table")
+    res = cmd_refresh_agg(spark, _args(tmp_path, sf_tiny, agg_root=aroot))
+    assert res["bootstrapped"] and not res["skipped"]
+    assert got(aroot) == expected()
+
+    # caught up -> skip, cursor unchanged
+    res2 = cmd_refresh_agg(spark, _args(tmp_path, sf_tiny, agg_root=aroot))
+    assert res2["skipped"] and res2["since_version"] == res["to_version"]
+
+    cmd_restore(spark, _args(tmp_path, sf_tiny, version=1))
+    with pytest.raises(SystemExit, match="rebootstrap"):
+        cmd_refresh_agg(spark, _args(tmp_path, sf_tiny, agg_root=aroot))
+    res3 = cmd_refresh_agg(
+        spark, _args(tmp_path, sf_tiny, agg_root=aroot, rebootstrap=True)
+    )
+    assert res3["bootstrapped"]
+    assert got(aroot) == expected()
