@@ -105,6 +105,9 @@ HEADLINE = [
     # (tokenize x concat-and-cut, single exchange)
     "dup_span_removal",
     "packed_batch_payloads",
+    # round-4 continuation: global shuffle-shard with no global row
+    # sort (hash-prefix bucket decomposition + broadcast offsets)
+    "shuffled_shards",
 ]
 
 
