@@ -35,6 +35,17 @@ advanced state. Net-empty spans (compaction-only, rebucket) still
 commit an empty batch so the cursor advances — same rule as
 refresh_signatures, and the feed stays a metadata bucket-diff.
 
+A STREAMING variant (lake_feed-driven, like stream_refresh_signatures)
+is deliberately absent: the streaming feed carries no preimage rows
+(per-bucket old∩changed reads would add them — same-bucket locality
+makes that cheap — but a rebucket inside a span shifts bucket ids and
+needs the batch path's full-old-read fallback), and streaming epoch
+batch ids live at 2^40+, outside the contiguity cursor's namespace, so
+mixing stream and batch refreshes would corrupt read-modify-write
+totals. Until the feed source grows preimages AND an epoch-aware
+cursor, pace streaming maintenance by calling ``refresh_agg`` per
+trigger — the cursor makes any pacing safe.
+
 Scale shape (100 TB audit): the feed is O(|changed data|) by
 ``read_changes``'s changed-bucket pruning; the per-group delta is one
 narrow hash agg over it; the standing table is touched ONLY on
