@@ -40,8 +40,10 @@ from pyspark.sql import functions as F
 from .apply import apply_batch
 from .table import LakeTable, retry_on_fork_rewind
 
+from .manifest import RANGE_REFRESH_BASE
+
 DML_BASE = 1 << 38
-_DML_END = 1 << 39  # REFRESH_BASE (scripts/orchestrator.py)
+_DML_END = RANGE_REFRESH_BASE
 
 
 def _next_dml_id(table: LakeTable) -> int:

@@ -22,6 +22,13 @@ from pyspark.sql import DataFrame, SparkSession
 from ..schemas import MANIFEST_SCHEMA
 from .table import LakeTable
 
+# Batch-id namespace boundary (the ONE definition — orchestrator
+# REFRESH_BASE, dml's _DML_END and ivm's cursor filter all import it):
+# ids below are replay chunks (small ints) and DML (2^38+); at/above
+# are LSN-range refreshes (2^39+) and streaming epochs (2^40+). A
+# derived table's version cursor = max committed id BELOW this base.
+RANGE_REFRESH_BASE = 1 << 39
+
 
 def manifest_df(spark: SparkSession, table: LakeTable) -> DataFrame:
     rows = [

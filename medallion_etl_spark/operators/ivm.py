@@ -62,9 +62,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..cdc.apply import apply_batch
+from ..cdc.manifest import RANGE_REFRESH_BASE
 from ..cdc.table import LakeTable, retry_on_fork_rewind
-
-RANGE_NS = 2**39  # ids at/above this are range-refresh/stream namespaces
+from .util import persist_replacing
 
 AGG_SCHEMA_V1 = T.StructType(
     [
@@ -99,7 +99,7 @@ def _contrib(rows: DataFrame, sign: int) -> DataFrame:
 def agg_cursor(agg: LakeTable) -> int:
     """The corpus version the totals are caught up to = the highest
     committed maintenance batch id (range/stream namespaces excluded)."""
-    ids = [int(b) for b in agg.committed_batches() if int(b) < RANGE_NS]
+    ids = [int(b) for b in agg.committed_batches() if int(b) < RANGE_REFRESH_BASE]
     if not ids:
         raise ValueError(
             "aggregate table has no bootstrap commit; run bootstrap_agg first"
@@ -147,41 +147,62 @@ def refresh_agg(
     """Advance the totals with the corpus changes in
     ``(cursor, corpus.version]``. ``since_version``, when given, must
     EQUAL the cursor — totals are read-modify-write, so a gap or
-    overlap is corruption, not convergence, and is refused loudly."""
-    cursor = agg_cursor(agg)
-    if since_version is not None and since_version != cursor:
-        raise ValueError(
-            f"refresh_agg span must start at the cursor {cursor}, got "
-            f"since_version={since_version} (out-of-order/overlapping "
-            "spans corrupt read-modify-write totals)"
-        )
-    if cursor > corpus.version:
-        # the corpus was RESTOREd below the cursor: the standing totals
-        # include contributions of undone rows and NO feed span can
-        # retract them (restored rows resurface at their ORIGINAL
-        # LSNs). Silent skip would freeze wrong totals forever — same
-        # loud-gate treatment as read_changes across a RESTORE; rebuild
-        # via build-aside + swap (bootstrap_agg on a fresh table).
-        raise ValueError(
-            f"aggregate cursor {cursor} is ahead of corpus version "
-            f"{corpus.version} (RESTORE below the cursor): totals "
-            "cannot be rolled back by a feed — rebootstrap the "
-            "aggregate table (build-aside + swap)"
-        )
-    if cursor == corpus.version:
-        return {"skipped_empty": True, "batch_id": None, "rows_applied": 0}
+    overlap is corruption, not convergence, and is refused loudly.
+
+    The cursor is read INSIDE the retry closure, from the same freshly
+    loaded handle the commit goes through: two concurrent refreshes
+    that both captured an old cursor would otherwise double-apply the
+    overlapping span under different batch ids (the manifest can't
+    catch that). With the cursor in the closure, the loser's commit
+    trips the fork/rewind guard, the retry reloads table AND cursor,
+    and the recomputed span starts where the winner left off."""
 
     def _run() -> dict:
         table = LakeTable.load(agg.root)
+        cursor = agg_cursor(table)
+        if since_version is not None and since_version != cursor:
+            raise ValueError(
+                f"refresh_agg span must start at the cursor {cursor}, got "
+                f"since_version={since_version} (out-of-order/overlapping "
+                "spans corrupt read-modify-write totals)"
+            )
+        if cursor > corpus.version:
+            # Either a concurrent refresh already advanced past this
+            # caller's (stale) corpus handle — benign, its span is
+            # subsumed — or the corpus itself was RESTOREd/replaced
+            # below the cursor, where the totals hold contributions of
+            # undone rows NO feed span can retract (restored rows
+            # resurface at their ORIGINAL LSNs). The on-disk corpus
+            # HEAD tells them apart.
+            head = LakeTable.load(corpus.root).version
+            if head >= cursor:
+                return {
+                    "skipped_stale": True,
+                    "batch_id": None,
+                    "rows_applied": 0,
+                }
+            raise ValueError(
+                f"aggregate cursor {cursor} is ahead of corpus version "
+                f"{head} (RESTORE below the cursor): totals cannot be "
+                "rolled back by a feed — rebootstrap the aggregate "
+                "table (build-aside + swap)"
+            )
+        if cursor == corpus.version:
+            return {"skipped_empty": True, "batch_id": None, "rows_applied": 0}
         feed = corpus.read_changes(spark, cursor, include_preimage=True)
         up = _contrib(feed.filter(F.col("_change_type") == "upsert"), 1)
         pre = _contrib(
             feed.filter(F.col("_change_type") == "update_preimage"), -1
         )
-        delta = (
+        # persisted: the per-group delta (and through it the preimage
+        # feed's two snapshot reads) otherwise re-executes for the
+        # semi-join source set, the merge join, and apply's stats pass
+        delta = persist_replacing(
+            "ivm_delta",
+            agg.root,
             up.unionByName(pre)
             .groupBy("source")
-            .agg(F.sum("d_rows").alias("d_rows"), F.sum("d_tok").alias("d_tok"))
+            .agg(F.sum("d_rows").alias("d_rows"), F.sum("d_tok").alias("d_tok")),
         )
         cur = table.read(spark).join(
             F.broadcast(delta.select("source")), "source", "semi"

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table as T
+from .util import spread
 
 TOKEN_BUDGET = 256  # tokens per packed sequence (sized so the small-SF corpora actually split)
 
@@ -129,7 +130,9 @@ def packed_batch_payloads(spark: SparkSession, sf: str) -> DataFrame:
     from .repetition import _token_id
 
     budget = TOKEN_BUDGET
-    docs = T(spark, sf, "documents")
+    # spread: per-word md5 tokenization is the dominant compute and the
+    # tiny documents table is one input split (root CLAUDE.md rule)
+    docs = spread(spark, T(spark, sf, "documents"))
     words = F.filter(F.split(F.lower("text"), " "), lambda w: F.length(w) > 0)
     ids = F.transform(words, _token_id)
     toks = docs.select(

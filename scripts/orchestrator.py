@@ -41,8 +41,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Refresh batches get their own id namespace (below the streaming base
 # of 2^40, above any replay chunk index): a range maps to a stable id,
 # so the same refresh re-run is deduped by the manifest while distinct
-# ranges never collide with replay/stream batch ids.
-REFRESH_BASE = 1 << 39
+# ranges never collide with replay/stream batch ids. The boundary is
+# defined ONCE in cdc/manifest.py.
+from medallion_etl_spark.cdc.manifest import RANGE_REFRESH_BASE as REFRESH_BASE
 
 
 def refresh_batch_id(lsn_lo: int, lsn_hi: int) -> int:
@@ -276,7 +277,7 @@ def cmd_refresh_signatures(spark, args) -> dict:
         # batch refreshes commit under the corpus version (small ints);
         # a concurrent stream_refresh_signatures drain commits in the
         # 2^40+ streaming-epoch namespace — not a version cursor
-        done = [b for b in sig.committed_batches() if b < (1 << 39)]
+        done = [b for b in sig.committed_batches() if b < REFRESH_BASE]
         since = max(done) if done else 0
         try:
             out = refresh_signatures(spark, corpus, sig, since_version=int(since))
@@ -315,9 +316,9 @@ def cmd_refresh_agg(spark, args) -> dict:
     from cron like refresh-signatures."""
     import shutil
 
+    from medallion_etl_spark.cdc.manifest import RANGE_REFRESH_BASE
     from medallion_etl_spark.cdc.table import LakeTable
     from medallion_etl_spark.operators.ivm import (
-        agg_cursor,
         bootstrap_agg,
         create_agg_table,
         refresh_agg,
@@ -344,15 +345,25 @@ def cmd_refresh_agg(spark, args) -> dict:
         }
     if LakeTable.exists(args.agg_root):
         agg = LakeTable.load(args.agg_root)
-        since = agg_cursor(agg)
-        try:
-            out = refresh_agg(spark, corpus, agg)
-        except ValueError as e:
-            raise SystemExit(
-                f"refresh-agg: {e}\n(recover with --rebootstrap: rebuilds "
-                "the totals table from the current corpus snapshot)"
-            ) from e
-        bootstrapped = False
+        done = [b for b in agg.committed_batches() if b < RANGE_REFRESH_BASE]
+        if not done:
+            # crash window between create_agg_table and the bootstrap
+            # commit left an existing-but-empty table: finish the
+            # bootstrap (its empty-table guard accepts a v0 table)
+            # instead of dying on agg_cursor forever
+            since = 0
+            out = bootstrap_agg(spark, corpus, agg)
+            bootstrapped = True
+        else:
+            since = max(done)
+            try:
+                out = refresh_agg(spark, corpus, agg)
+            except ValueError as e:
+                raise SystemExit(
+                    f"refresh-agg: {e}\n(recover with --rebootstrap: rebuilds "
+                    "the totals table from the current corpus snapshot)"
+                ) from e
+            bootstrapped = False
     else:
         agg = create_agg_table(args.agg_root)
         since = 0

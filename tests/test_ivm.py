@@ -193,3 +193,17 @@ def test_restore_below_cursor_is_refused_and_rebootstrap_recovers(
     assert _totals(spark, LakeTable.load(rroot)) == _full_recompute(
         spark, LakeTable.load(root)
     )
+
+
+def test_stale_corpus_handle_refresh_is_skipped_not_corrupting(spark, crafted):
+    root, aroot, step = crafted
+    step()
+    stale_corpus = LakeTable.load(root)  # v2 handle
+    step()
+    refresh_agg(spark, LakeTable.load(root), LakeTable.load(aroot))  # cursor -> v3
+    want = _totals(spark, LakeTable.load(aroot))
+    # a refresh against the v2 handle is subsumed by the v3 refresh:
+    # benign skip (on-disk corpus HEAD >= cursor), never a double apply
+    out = refresh_agg(spark, stale_corpus, LakeTable.load(aroot))
+    assert out.get("skipped_stale")
+    assert _totals(spark, LakeTable.load(aroot)) == want

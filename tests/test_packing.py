@@ -150,7 +150,11 @@ def test_payloads_single_exchange_no_join(spark):
     )
     assert "Join" not in plan, plan
     # the prefix-sum window's source exchange is reused by the pack
-    # group-by (clustered on a superset of the same key); only the
-    # final orderBy adds a range exchange
-    body = "\n".join(l for l in plan.splitlines() if "rangepartitioning" not in l)
+    # group-by (clustered on a superset of the same key); the final
+    # orderBy adds a range exchange and spread() a round-robin one
+    body = "\n".join(
+        l
+        for l in plan.splitlines()
+        if "rangepartitioning" not in l and "RoundRobinPartitioning" not in l
+    )
     assert body.count("Exchange") == 1, plan
