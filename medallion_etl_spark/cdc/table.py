@@ -1287,6 +1287,184 @@ class LakeTable:
             ) from exc
         return clone
 
+    def publish_from(self, stage_root: str) -> dict:
+        """Write-audit-publish (the Iceberg WAP / branch-fast-forward
+        analog): atomically adopt everything committed on a staging
+        clone of THIS table since it forked. The audited-CDC pattern is
+        ``stage = src.clone_to(...)`` (zero-copy) → replay/DML into the
+        stage → run whatever audits the pipeline needs against the
+        stage → ``src.publish_from(stage_root)``. Until publish, the
+        source serves its unchanged snapshot; a failed audit simply
+        drops the stage and nothing was ever visible.
+
+        Fast-forward ONLY: the source HEAD must still be the version
+        the stage forked from. If the source advanced, publishing would
+        silently discard those commits (the stage's metadata is a full
+        snapshot, not a diff), so this RAISES and the recovery is to
+        re-stage from the new HEAD — same loud-gate philosophy as the
+        feed's restore/backfill refusals. Rebase is deliberately not
+        offered: replaying the same stream into a fresh stage IS the
+        rebase, and LWW makes it converge.
+
+        Mechanics: stage-local data dirs are MOVED (same-filesystem
+        ``os.rename``, O(1) per dir) into the source's ``data/``;
+        dirs the stage inherited from the source are re-relativized to
+        the exact strings the source already holds, so untouched
+        buckets keep their entry signature and a change feed spanning
+        the publish stays a metadata bucket-diff. Then ONE source
+        commit adopts the stage's buckets, batch manifest, schema map,
+        clustering, compaction watermark and constraints — the staged
+        batches become pending-dedupe history exactly as if they had
+        been applied directly. The stage is invalidated afterwards
+        (its ``metadata/CURRENT`` is replaced by a ``PUBLISHED``
+        marker): its local dirs moved away, so leaving it loadable
+        would be silent-corruption bait.
+
+        Crash window (documented, not hidden): a crash between the dir
+        moves and the commit leaves the SOURCE unchanged — publish is
+        never partially visible (the atomic-commit invariant) — but
+        the stage broken; recovery is re-staging from the source, and
+        the already-moved dirs are unreferenced young orphans that
+        ``remove_orphans`` reclaims after its age guard. On an object
+        store this step would be a server-side copy or a shared-prefix
+        pointer rewrite; the single-filesystem rename is the sandbox
+        analog."""
+        stage = LakeTable.load(stage_root)
+        src_root = os.path.abspath(self.root)
+        origin = stage.meta.get("cloned_from")
+        if not origin or os.path.abspath(origin["root"]) != src_root:
+            raise ValueError(
+                f"table at {stage_root} is not a clone of {self.root} "
+                "(publish_from only fast-forwards a stage forked from "
+                "this table)"
+            )
+        if stage.version == 0:
+            return {"published": False, "reason": "stage has no commits"}
+        if int(stage.meta.get("last_restore_commit", 0)) > 0:
+            raise ValueError(
+                "stage was RESTOREd after forking: its restore watermark "
+                "is numbered in stage versions, which the source's feed "
+                "gate cannot represent — re-stage and re-apply instead"
+            )
+        if stage.meta.get("clones"):
+            raise ValueError(
+                f"stage has registered clones of its own "
+                f"({stage.meta['clones']}): publishing moves its data "
+                "dirs, which would break them — self-contain or drop "
+                "those clones first"
+            )
+        fork = int(origin["version"])
+        head = LakeTable.load(src_root)
+
+        def data_state(meta: dict) -> tuple:
+            # everything the publish would overwrite; NOT the clone
+            # registry (clone_to itself commits a registration, so the
+            # version NUMBER always moves — only data divergence blocks
+            # a fast-forward)
+            return (
+                meta["buckets"],
+                meta["committed_batches"],
+                meta["schema_version"],
+                meta["schemas"],
+                meta["n_buckets"],
+                meta.get("clustering"),
+                meta.get("compaction_watermark_lsn", -1),
+                meta.get("constraints", {}),
+            )
+
+        if data_state(head.meta) != data_state(
+            LakeTable.load_version(src_root, fork).meta
+        ):
+            raise RuntimeError(
+                f"source advanced past the stage's fork point (version "
+                f"{fork}, HEAD {head.version}, data state differs): "
+                "fast-forward publish would discard those commits — "
+                "re-stage from the current HEAD and re-apply the stream "
+                "(LWW reconverges)"
+            )
+
+        moved: list[str] = []  # stage-relative dirs now living under src
+
+        def adopt(d: str) -> str:
+            if os.path.isabs(d):
+                if d.startswith(src_root + os.sep):
+                    return os.path.relpath(d, src_root)
+                raise ValueError(
+                    f"stage bucket dir {d} points outside the source "
+                    "table (a clone-of-a-clone?): refusing to publish"
+                )
+            dst = os.path.join(src_root, d)
+            if os.path.exists(dst):
+                raise RuntimeError(
+                    f"publish collision: {dst} already exists under the "
+                    "source (stage-local dir names are expected unique)"
+                )
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(os.path.join(stage.root, d), dst)
+            moved.append(d)
+            return d
+
+        buckets = json.loads(json.dumps(stage.meta["buckets"]))  # deep copy
+        stage_abs = os.path.abspath(stage_root)
+        try:
+            for entry in buckets.values():
+                entry["dir"] = adopt(entry["dir"])
+                for dlt in entry.get("deltas", []):
+                    dlt["dir"] = adopt(dlt["dir"])
+            head.commit(
+                {},
+                set(),
+                None,
+                meta_updates={
+                    "buckets": buckets,
+                    "committed_batches": stage.meta["committed_batches"],
+                    "schema_version": stage.meta["schema_version"],
+                    "schemas": stage.meta["schemas"],
+                    "n_buckets": stage.meta["n_buckets"],
+                    "clustering": stage.meta.get("clustering"),
+                    "compaction_watermark_lsn": stage.meta.get(
+                        "compaction_watermark_lsn", -1
+                    ),
+                    "constraints": stage.meta.get("constraints", {}),
+                    "bloom_key_filter": stage.meta.get("bloom_key_filter", False),
+                    # deregister the stage in the SAME atomic commit: it
+                    # stops existing as a clone the moment it is published
+                    "clones": [
+                        c for c in head.meta.get("clones", []) if c != stage_abs
+                    ],
+                },
+            )
+        except BaseException:
+            # a lost commit race (or a collision partway through the
+            # moves) must leave the STAGE intact, not half-gutted: move
+            # everything back before surfacing the error. Renames on
+            # one filesystem don't fail for data reasons, so this undo
+            # is as reliable as the moves themselves.
+            for d in moved:
+                os.rename(os.path.join(src_root, d), os.path.join(stage.root, d))
+            raise
+        # invalidate the stage LOUDLY: swap its pointer for a marker in
+        # one rename, so any concurrent reader fails with a missing
+        # CURRENT instead of reading entries whose dirs moved away
+        marker = os.path.join(stage.root, "metadata", "PUBLISHED")
+        with open(marker + ".tmp", "w") as f:
+            json.dump(
+                {"published_to": src_root, "source_version": head.version},
+                f,
+            )
+        os.replace(marker + ".tmp", marker)
+        os.remove(os.path.join(stage.root, "metadata", "CURRENT"))
+        return {
+            "published": True,
+            "version": head.version,  # commit() advanced the handle in place
+            "staged_commits": stage.version,
+            "staged_batches": sorted(
+                int(b)
+                for b in stage.meta["committed_batches"]
+                if b not in self.meta.get("committed_batches", {})
+            ),
+        }
+
     def expire_snapshots(
         self, *, keep_last: int = 1, force: bool = False, grace_seconds: float = 3 * 86400
     ) -> dict:

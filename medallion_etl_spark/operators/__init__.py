@@ -121,6 +121,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cdc_merge_into_state",
     "cdc_convert_documents",
     "cdc_restore_reconverge",
+    # new in the r4 continuation: write-audit-publish fast-forward
+    # (takes cobertura_sucursal_aguas' slot — green r3, and its family
+    # keeps four other entries in the window)
+    "cdc_wap_publish_state",
     "cdc_schema_evolution_state",
     "incremental_gold_by_source",
     # touched this round (md5_bucket widened / broadcast hygiene)
@@ -133,7 +137,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cobertura_sucursal_marca",
     "cobertura_vendedor_generico",
     "cobertura_sucursal_generico",
-    "cobertura_sucursal_aguas",
     "doc_length_percentiles",
     "decontaminate_against_benchmark",
     # new in r4: exact-substring (K-word window) duplication stats —

@@ -514,6 +514,59 @@ ORDER BY doc_id
 """
 
 
+_WAP_ROOTS: dict[str, str] = {}
+
+
+def cdc_wap_publish_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-audit-publish under the driver's own correctness gate
+    (``LakeTable.publish_from`` — the Iceberg WAP / branch-fast-forward
+    analog): replay the first half of the change stream into the
+    source, fork a zero-copy staging clone, replay the FULL stream
+    into the stage (the cloned manifest dedupes the already-applied
+    half), audit the stage (row-count sanity, as a pipeline would),
+    then publish — one atomic source commit adopting the staged
+    buckets + manifest. The final source state must equal the plain
+    latest-state oracle exactly: the stage detour loses and invents
+    nothing, which is the entire point of WAP."""
+    cached = _WAP_ROOTS.get(sf)
+    if cached is None or not LakeTable.exists(cached):
+        events = T(spark, sf, "events")
+        stream = _as_change_stream(events)
+        n = events.agg(F.max("event_id")).collect()[0][0] or 0
+        chunk = max(int(n) // 4, 1)
+        tmp = _scratch_dir("cdc_wap", sf)
+        shutil.rmtree(tmp, ignore_errors=True)
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        root = f"{tmp}/t"
+        table = LakeTable.create(root, n_buckets=8, schema_version=2)
+        # first half lands directly on the source...
+        replay(
+            spark,
+            stream.filter(F.col("lsn") < 2 * chunk),
+            table,
+            chunk_size=chunk,
+        )
+        # ...the tail goes through a staged WAP cycle
+        stage_root = f"{tmp}/stage"
+        LakeTable.load(root).clone_to(stage_root)
+        replay(spark, stream, LakeTable.load(stage_root), chunk_size=chunk)
+        staged = LakeTable.load(stage_root)
+        if staged.read(spark).count() == 0:  # the audit step
+            raise RuntimeError("WAP audit failed: staged table is empty")
+        res = LakeTable.load(root).publish_from(stage_root)
+        assert res["published"], res
+        _WAP_ROOTS[sf] = root
+    final = LakeTable.load(_WAP_ROOTS[sf]).read(spark)
+    return final.select(
+        "doc_id",
+        F.element_at("tokens", 1).alias("tok_value"),
+        F.element_at("tokens", 2).alias("tok_user"),
+        F.element_at("tokens", 3).alias("last_lsn"),
+        "n_tok",
+        F.col("source").alias("last_type"),
+    ).orderBy("doc_id")
+
+
 def cdc_schema_evolution_state(spark: SparkSession, sf: str) -> DataFrame:
     """Mid-stream DDL under the driver's own correctness gate: replay
     the first half of the change stream at the bootstrap schema, run
@@ -616,6 +669,7 @@ QUERIES = {
     "cdc_merge_into_state": (cdc_merge_into_state, CDC_MERGE_INTO_STATE_SQL),
     "cdc_convert_documents": (cdc_convert_documents, CDC_CONVERT_DOCUMENTS_SQL),
     "cdc_restore_reconverge": (cdc_restore_reconverge, CDC_REPLAY_LATEST_STATE_SQL),
+    "cdc_wap_publish_state": (cdc_wap_publish_state, CDC_REPLAY_LATEST_STATE_SQL),
     "cdc_schema_evolution_state": (
         cdc_schema_evolution_state,
         CDC_SCHEMA_EVOLUTION_STATE_SQL,

@@ -233,6 +233,16 @@ def cmd_clone(spark, args) -> dict:
     return {"cloned_to": clone.root, "source_version": clone.meta["cloned_from"]["version"]}
 
 
+def cmd_publish(spark, args) -> dict:
+    """Write-audit-publish fast-forward: adopt everything committed on
+    a staging clone (``clone --dst`` → replay into the stage → audit →
+    ``publish --stage``) in one atomic source commit. Refuses if the
+    source advanced since the fork — re-stage instead."""
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    return LakeTable.load(_table_root(args.out)).publish_from(args.stage)
+
+
 def cmd_refresh_signatures(spark, args) -> dict:
     """Maintain the derived MinHash signature table from the main
     table's change feed (operators/dedup_incremental.py): bootstrap it
@@ -543,6 +553,8 @@ def main() -> None:
     p.add_argument("--schema-version", default="1")
     p = sub.add_parser("clone")
     p.add_argument("--dst", required=True, help="root for the zero-copy shallow clone")
+    p = sub.add_parser("publish")
+    p.add_argument("--stage", required=True, help="staging clone root to fast-forward from")
     p = sub.add_parser("refresh-signatures")
     p.add_argument(
         "--sig-root",
@@ -622,6 +634,7 @@ def main() -> None:
         "update-where": cmd_update_where,
         "convert": cmd_convert,
         "clone": cmd_clone,
+        "publish": cmd_publish,
         "refresh-signatures": cmd_refresh_signatures,
         "refresh-agg": cmd_refresh_agg,
         "restore": cmd_restore,

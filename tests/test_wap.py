@@ -1,0 +1,141 @@
+"""Write-audit-publish (LakeTable.publish_from): the Iceberg WAP /
+branch-fast-forward analog. Stage = shallow clone; CDC lands on the
+stage; audits run against the stage; ONE atomic source commit adopts
+everything. Until publish, the source serves its unchanged snapshot."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_etl_spark.cdc.dml import delete_where
+from medallion_etl_spark.cdc.replay import replay
+from medallion_etl_spark.cdc.table import LakeTable
+from medallion_etl_spark.synth import gen_events
+
+from .cdc_oracle import assert_frames_equal, canon
+
+N_EVENTS = 3_000
+N_KEYS = 200
+CHUNK = 1_000
+
+
+@pytest.fixture()
+def staged(spark, tmp_path):
+    """Source with the first 2 chunks applied; stage (clone) with the
+    full stream applied — the classic WAP shape — plus a control table
+    that replayed everything directly."""
+    events = gen_events(spark, n_events=N_EVENTS, n_keys=N_KEYS)
+    src_root = str(tmp_path / "src")
+    replay(
+        spark,
+        events.filter(F.col("lsn") < 2 * CHUNK),
+        LakeTable.create(src_root, n_buckets=8),
+        chunk_size=CHUNK,
+    )
+    stage_root = str(tmp_path / "stage")
+    LakeTable.load(src_root).clone_to(stage_root)
+    replay(spark, events, LakeTable.load(stage_root), chunk_size=CHUNK)
+
+    ctl_root = str(tmp_path / "ctl")
+    replay(spark, events, LakeTable.create(ctl_root, n_buckets=8), chunk_size=CHUNK)
+    return src_root, stage_root, ctl_root
+
+
+def test_publish_fast_forwards_to_the_staged_state(spark, tmp_path, staged):
+    src_root, stage_root, ctl_root = staged
+    src = LakeTable.load(src_root)
+    before = src.version
+    pre_publish = src.read(spark).toPandas()
+
+    res = src.publish_from(stage_root)
+    assert res["published"] and res["version"] == before + 1
+    assert res["staged_batches"]  # the staged chunk ids, for lineage
+
+    head = LakeTable.load(src_root)
+    assert head.version == before + 1
+    # published state ≡ replaying the stream directly (no stage detour)
+    assert_frames_equal(
+        head.read(spark).toPandas(),
+        canon(LakeTable.load(ctl_root).read(spark).toPandas()),
+    )
+    # manifest adopted: re-feeding the same stream applies nothing
+    assert replay(spark, gen_events(spark, n_events=N_EVENTS, n_keys=N_KEYS),
+                  LakeTable.load(src_root), chunk_size=CHUNK)["batches_applied"] == 0
+    # time travel to the pre-publish snapshot still serves the old state
+    assert_frames_equal(
+        LakeTable.load_version(src_root, before).read(spark).toPandas(),
+        canon(pre_publish),
+    )
+    # the stage is invalidated loudly and deregistered from the source
+    assert not LakeTable.exists(stage_root)
+    assert os.path.exists(os.path.join(stage_root, "metadata", "PUBLISHED"))
+    assert os.path.abspath(stage_root) not in head.meta.get("clones", [])
+
+
+def test_change_feed_spans_the_publish_as_if_applied_directly(spark, staged):
+    src_root, stage_root, ctl_root = staged
+    src = LakeTable.load(src_root)
+    fork = src.version
+    src.publish_from(stage_root)
+    feed = LakeTable.load(src_root).read_changes(spark, fork).toPandas()
+    # the staged chunks' rows, and only those, appear in the feed
+    assert len(feed) > 0
+    watermark = LakeTable.load_version(src_root, fork).max_committed_lsn()
+    assert feed["_lsn"].min() > watermark
+
+
+def test_publish_refuses_a_diverged_source(spark, tmp_path, staged):
+    src_root, stage_root, _ = staged
+    # the source moves on after the fork: fast-forward must refuse
+    delete_where(spark, LakeTable.load(src_root), "source = 'web'")
+    with pytest.raises(RuntimeError, match="source advanced"):
+        LakeTable.load(src_root).publish_from(stage_root)
+    # refusal left the stage fully intact and loadable
+    assert LakeTable.exists(stage_root)
+    assert LakeTable.load(stage_root).read(spark).count() > 0
+
+
+def test_publish_refuses_a_foreign_table(spark, tmp_path, staged):
+    src_root, _, ctl_root = staged
+    with pytest.raises(ValueError, match="not a clone"):
+        LakeTable.load(src_root).publish_from(ctl_root)
+
+
+def test_publish_refuses_a_restored_stage(spark, staged):
+    src_root, stage_root, _ = staged
+    LakeTable.load(stage_root).restore(0)
+    with pytest.raises(ValueError, match="RESTOREd"):
+        LakeTable.load(src_root).publish_from(stage_root)
+
+
+def test_empty_stage_is_a_noop(spark, tmp_path, staged):
+    src_root, _, _ = staged
+    empty_root = str(tmp_path / "empty-stage")
+    LakeTable.load(src_root).clone_to(empty_root)
+    before = LakeTable.load(src_root).version
+    res = LakeTable.load(src_root).publish_from(empty_root)
+    assert res["published"] is False
+    assert LakeTable.load(src_root).version == before
+    assert LakeTable.exists(empty_root)  # untouched, still a clone
+
+
+def test_staged_schema_evolution_publishes(spark, tmp_path):
+    """add-column DDL inside the stage: publish adopts the stage's
+    schema map, and pre-evolution rows read as NULL in the new column
+    exactly as if the DDL had run on the source."""
+    events = gen_events(spark, n_events=1_000, n_keys=50, with_evolution=False)
+    src_root = str(tmp_path / "src")
+    replay(spark, events, LakeTable.create(src_root, n_buckets=4), chunk_size=500)
+    stage_root = str(tmp_path / "stage")
+    LakeTable.load(src_root).clone_to(stage_root)
+    stage = LakeTable.load(stage_root)
+    stage.add_column("wap_tag", "string")
+    res = LakeTable.load(src_root).publish_from(stage_root)
+    assert res["published"]
+    head = LakeTable.load(src_root)
+    assert "wap_tag" in [f.name for f in head.schema().fields]
+    got = head.read(spark)
+    assert got.filter(F.col("wap_tag").isNull()).count() == got.count()
