@@ -137,7 +137,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cobertura_sucursal_marca",
     "cobertura_vendedor_generico",
     "cobertura_sucursal_generico",
-    "doc_length_percentiles",
+    # new in the r4 continuation: token-id n-gram decontamination
+    # (takes doc_length_percentiles' slot — green r3; the exact/KLL
+    # percentile path stays pinned by tests/test_percentiles.py)
+    "token_ngram_decontaminate",
     "decontaminate_against_benchmark",
     # new in r4: exact-substring (K-word window) duplication stats —
     # takes the slot of exact_dedup_docs (green r1/r2/r3)

@@ -226,3 +226,110 @@ ORDER BY doc_id
 """
 
 QUERIES["tokenize_documents"] = (tokenize_documents, TOKENIZE_DOCUMENTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Token-level n-gram decontamination: the benchmark-leak check run on
+# the TOKEN-ID sequences a trainer actually consumes (the engine's
+# payload shape, BASELINE.json input_hint) rather than on words. The
+# distinction matters in production: tokenizer-level n-gram matching is
+# what the published decontamination pipelines (GPT-3 appx C, PaLM,
+# Llama) specify, because post-tokenization is the representation the
+# model memorizes. Eval membership is the same deterministic 1-in-20
+# rule the word-level operator uses, so the two stages are comparable.
+#
+# Scale shape: token n-gram windows are md5'd BEFORE the explode, so
+# the shuffle carries (doc_id, fixed-width digest) pairs and the token
+# arrays never move; the benchmark's distinct digest set is
+# eval-suite-sized and broadcast, so the corpus side never shuffles
+# for the probe — only the per-doc count aggregation exchanges, with
+# map-side partial aggregation. Unlike the word-level operator this
+# one emits EVERY corpus doc (left join), so zero-contamination docs
+# get an explicit keep row — what a curation funnel joins against.
+
+TOKEN_DECON_K = 8  # n-gram length in tokens (GPT-3 used 13; corpus is tiny)
+TOKEN_DECON_KEEP_MAX = 0.2
+
+
+def token_ngram_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from .util import persist_replacing
+
+    raw = tokenize_documents_raw(spark, sf)
+    n = F.col("n_tok")
+    wins = F.transform(
+        F.sequence(F.lit(1), n - (TOKEN_DECON_K - 1)),
+        lambda i: F.md5(
+            F.encode(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("tokens"), i, TOKEN_DECON_K),
+                        lambda t: t.cast("string"),
+                    ),
+                ),
+                "UTF-8",
+            )
+        ),
+    )
+    # persisted: the benchmark distinct-set and the corpus probe are
+    # both built from this explode (same reason as dup_span_stats)
+    flat = persist_replacing(
+        "token_decon_ngrams",
+        sf,
+        raw.filter(n >= TOKEN_DECON_K).select("doc_id", F.explode(wins).alias("g")),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    is_bench = F.col("doc_id") % 20 == 0
+    bench = (
+        flat.filter(is_bench).select("g").distinct().withColumn("_hit", F.lit(1))
+    )
+    return (
+        flat.filter(~is_bench)
+        .join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contam_frac",
+            F.round(F.col("n_contaminated") / F.col("n_ngrams"), 6),
+        )
+        .withColumn("keep", F.col("contam_frac") <= TOKEN_DECON_KEEP_MAX)
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_NGRAM_DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split(lower(text), ' '),
+                                    w -> length(w) > 0),
+                        w -> {_TOKEN_ID_SQL}) AS tokens
+  FROM documents
+),
+flat AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(tokens) - {TOKEN_DECON_K - 1}),
+                               i -> md5(array_to_string(tokens[i:i+{TOKEN_DECON_K - 1}], ',')))) AS g
+  FROM toks
+  WHERE len(tokens) >= {TOKEN_DECON_K}
+),
+bench AS (SELECT DISTINCT g FROM flat WHERE doc_id % 20 = 0)
+SELECT f.doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(count(b.g) AS BIGINT) AS n_contaminated,
+       round(count(b.g) * 1.0 / count(*), 6) AS contam_frac,
+       round(count(b.g) * 1.0 / count(*), 6) <= {TOKEN_DECON_KEEP_MAX} AS keep
+FROM flat f LEFT JOIN bench b USING (g)
+WHERE f.doc_id % 20 <> 0
+GROUP BY f.doc_id
+ORDER BY f.doc_id
+"""
+
+QUERIES["token_ngram_decontaminate"] = (
+    token_ngram_decontaminate,
+    TOKEN_NGRAM_DECONTAMINATE_SQL,
+)

@@ -104,3 +104,22 @@ def test_tokenize_raw_ids_are_bit_exact(spark, docs_dir):
     }
     for doc_id in raw:
         assert joined[doc_id] == " ".join(str(t) for t in raw[doc_id]["tokens"])
+
+
+def test_token_ngram_decontaminate_invariants(spark, sf_tiny):
+    """Value equality vs DuckDB is the driver gate's job; here the
+    structural contract: benchmark docs never appear in the output,
+    zero-contamination docs DO (left join, unlike the word-level
+    operator), and the counts are consistent."""
+    from medallion_etl_spark.operators.repetition import (
+        TOKEN_DECON_KEEP_MAX,
+        token_ngram_decontaminate,
+    )
+
+    out = token_ngram_decontaminate(spark, sf_tiny).toPandas()
+    assert len(out) > 0
+    assert not (out["doc_id"] % 20 == 0).any()  # eval suite excluded
+    assert (out["n_contaminated"] <= out["n_ngrams"]).all()
+    assert (out["n_contaminated"] == 0).any()  # left join keeps clean docs
+    assert ((out["contam_frac"] >= 0) & (out["contam_frac"] <= 1)).all()
+    assert (out["keep"] == (out["contam_frac"] <= TOKEN_DECON_KEEP_MAX)).all()
