@@ -43,7 +43,11 @@ from .table import LakeTable, retry_on_fork_rewind
 from .manifest import RANGE_REFRESH_BASE
 
 DML_BASE = 1 << 38
-_DML_END = RANGE_REFRESH_BASE
+# top half of the former DML region ([3·2^37, 2^39)) now belongs to
+# quarantine redrives (cdc/redrive.py — hash-stable ids, so a crashed
+# redrive resumes as a manifest no-op); the DML counter would need
+# 2^37 commits on one table to reach it
+_DML_END = 3 << 37
 
 
 def _next_dml_id(table: LakeTable) -> int:

@@ -243,6 +243,33 @@ def cmd_publish(spark, args) -> dict:
     return LakeTable.load(_table_root(args.out)).publish_from(args.stage)
 
 
+def cmd_redrive(spark, args) -> dict:
+    """Re-apply a quarantine dataset at fresh LSNs (cdc/redrive.py).
+    ``--set col=expr`` (repeatable) is the remediation — e.g.
+    ``--set "op='U'"`` cures bad_op rows; rows still malformed after
+    the fixes fail the redrive (or are dropped with
+    ``--on-still-bad drop``)."""
+    from pyspark.sql import functions as F
+
+    from medallion_etl_spark.cdc.redrive import redrive_quarantine
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    fixes = dict(s.split("=", 1) for s in (args.set or []))
+
+    def fix(df):
+        for col, expr in fixes.items():
+            df = df.withColumn(col, F.expr(expr))
+        return df
+
+    return redrive_quarantine(
+        spark,
+        LakeTable.load(_table_root(args.out)),
+        args.path,
+        transform=fix if fixes else None,
+        on_still_bad=args.on_still_bad,
+    )
+
+
 def cmd_refresh_signatures(spark, args) -> dict:
     """Maintain the derived MinHash signature table from the main
     table's change feed (operators/dedup_incremental.py): bootstrap it
@@ -555,6 +582,10 @@ def main() -> None:
     p.add_argument("--dst", required=True, help="root for the zero-copy shallow clone")
     p = sub.add_parser("publish")
     p.add_argument("--stage", required=True, help="staging clone root to fast-forward from")
+    p = sub.add_parser("redrive")
+    p.add_argument("--path", required=True, help="quarantine dataset dir to re-apply")
+    p.add_argument("--set", action="append", help="remediation col=expr (repeatable)")
+    p.add_argument("--on-still-bad", default="fail", choices=["fail", "drop"])
     p = sub.add_parser("refresh-signatures")
     p.add_argument(
         "--sig-root",
@@ -635,6 +666,7 @@ def main() -> None:
         "convert": cmd_convert,
         "clone": cmd_clone,
         "publish": cmd_publish,
+        "redrive": cmd_redrive,
         "refresh-signatures": cmd_refresh_signatures,
         "refresh-agg": cmd_refresh_agg,
         "restore": cmd_restore,
