@@ -141,7 +141,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (takes doc_length_percentiles' slot — green r3; the exact/KLL
     # percentile path stays pinned by tests/test_percentiles.py)
     "token_ngram_decontaminate",
-    "decontaminate_against_benchmark",
+    # new in the r4 continuation: leak-free hash split (takes
+    # decontaminate_against_benchmark's slot — green r3, and its
+    # token-level sibling sits three entries up)
+    "train_val_test_split",
     # new in r4: exact-substring (K-word window) duplication stats —
     # takes the slot of exact_dedup_docs (green r1/r2/r3)
     "dup_span_stats",

@@ -129,3 +129,67 @@ QUERIES = {
     "stratified_sample_k": (stratified_sample_k, STRATIFIED_SAMPLE_K_SQL),
     "temperature_mix_weights": (temperature_mix_weights, TEMPERATURE_MIX_WEIGHTS_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split: hash-of-key assignment, the
+# leak-free standard for corpus splits. Keyed on doc_id (never on
+# position or random()), so the assignment is (1) stable under corpus
+# growth and re-partitioning — a doc keeps its split forever, which is
+# what prevents eval contamination across dataset releases; (2)
+# reproducible on any engine that can compute md5 (the oracle below is
+# the proof); (3) free at 100 TB — one per-row codegen expression at
+# scan speed, no shuffle, no sampling pass. The salt versions the
+# split: bumping it is an explicit, global re-split, the only way a
+# doc may ever change sides.
+
+SPLIT_SALT = "split-v1"
+SPLIT_PER_MILLE_TRAIN = 980  # 98% train
+SPLIT_PER_MILLE_VAL = 990  # 1% val, 1% test
+
+
+def split_assign(df: DataFrame, key_col: str) -> DataFrame:
+    """Library form: add ``split_bucket`` (0-999) + ``split`` columns
+    keyed on ``key_col``; works over any keyed frame (corpus tables,
+    LakeTable reads, feed outputs)."""
+    from ..functions.exprs import md5_bucket
+
+    b = md5_bucket(
+        F.concat(F.col(key_col).cast("string"), F.lit(":" + SPLIT_SALT)), 1000
+    )
+    return df.withColumn("split_bucket", b).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < SPLIT_PER_MILLE_TRAIN, F.lit("train"))
+        .when(F.col("split_bucket") < SPLIT_PER_MILLE_VAL, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def train_val_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    return (
+        split_assign(docs, "doc_id")
+        .select("doc_id", "split_bucket", "split", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _split_sql() -> str:
+    from ..functions.exprs import md5_bucket_sql
+
+    b = md5_bucket_sql(f"concat(CAST(doc_id AS VARCHAR), ':{SPLIT_SALT}')", 1000)
+    return f"""
+SELECT doc_id,
+       {b} AS split_bucket,
+       CASE WHEN {b} < {SPLIT_PER_MILLE_TRAIN} THEN 'train'
+            WHEN {b} < {SPLIT_PER_MILLE_VAL} THEN 'val'
+            ELSE 'test' END AS split,
+       source
+FROM documents
+ORDER BY doc_id
+"""
+
+
+TRAIN_VAL_TEST_SPLIT_SQL = _split_sql()
+
+QUERIES["train_val_test_split"] = (train_val_test_split, TRAIN_VAL_TEST_SPLIT_SQL)

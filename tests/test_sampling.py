@@ -46,3 +46,28 @@ def test_temperature_flattens_the_mix(spark, sf_tiny):
     all_toks = sum(toks.values())
     for r in rows:
         assert r["expected_toks"] <= r["mix_weight"] * all_toks
+
+
+def test_split_assignment_is_stable_under_corpus_growth(spark, sf_tiny):
+    """A doc's split depends only on its key: recomputing over any
+    subset/superset of the corpus must never move a doc across splits
+    (the property that prevents eval leakage across releases)."""
+    from medallion_etl_spark.operators.sampling import train_val_test_split
+    from medallion_etl_spark.sources.readers import load_table
+
+    full = train_val_test_split(spark, sf_tiny).toPandas().set_index("doc_id")
+    docs = load_table(spark, sf_tiny, "documents")
+    from medallion_etl_spark.operators.sampling import split_assign
+
+    half = (
+        split_assign(docs.filter("doc_id % 2 = 0"), "doc_id")
+        .select("doc_id", "split")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    joined = half.join(full, rsuffix="_full")
+    assert (joined["split"] == joined["split_full"]).all()
+    # all three splits materialize and train dominates
+    counts = full["split"].value_counts()
+    assert set(counts.index) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] + counts["test"]
