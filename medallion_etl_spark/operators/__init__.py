@@ -125,6 +125,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (takes cobertura_sucursal_aguas' slot — green r3, and its family
     # keeps four other entries in the window)
     "cdc_wap_publish_state",
+    # new in the r4 continuation: quarantine→redrive→reconverge (takes
+    # cobertura_sucursal_generico's slot — green r3; the family keeps
+    # three entries in the window)
+    "cdc_redrive_reconverge",
     "cdc_schema_evolution_state",
     "incremental_gold_by_source",
     # touched this round (md5_bucket widened / broadcast hygiene)
@@ -136,7 +140,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cobertura_vendedor_marca",
     "cobertura_sucursal_marca",
     "cobertura_vendedor_generico",
-    "cobertura_sucursal_generico",
     # new in the r4 continuation: token-id n-gram decontamination
     # (takes doc_length_percentiles' slot — green r3; the exact/KLL
     # percentile path stays pinned by tests/test_percentiles.py)

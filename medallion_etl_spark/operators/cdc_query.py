@@ -514,6 +514,86 @@ ORDER BY doc_id
 """
 
 
+_REDRIVE_ROOTS: dict[str, str] = {}
+
+
+def cdc_redrive_reconverge(spark: SparkSession, sf: str) -> DataFrame:
+    """Quarantine → redrive → reconverge, under the driver's own
+    correctness gate: corrupt a deterministic slice of the change
+    stream (every 97th LSN's upsert gets op='X'), replay with
+    ``on_malformed='quarantine'`` (the bad rows divert, their chunks
+    still commit), then ``redrive_quarantine`` with the curing
+    transform — the rows re-enter at fresh LSNs above the HWM. The
+    oracle pins the documented remediation semantics exactly: a
+    redriven event WINS against everything already applied (it sits
+    later in the total order), so per key the winner is the corrupted
+    event with the highest original LSN when one exists, else the
+    plain latest event — one priority-sorted window in DuckDB. The
+    payload carries the original event_id in the token array, so the
+    comparison is over values, not minted positions."""
+    from ..cdc.redrive import redrive_quarantine
+
+    cached = _REDRIVE_ROOTS.get(sf)
+    if cached is None or not LakeTable.exists(cached):
+        events = T(spark, sf, "events")
+        stream = _as_change_stream(events)
+        corrupt = (F.col("lsn") % 97 == 0) & (F.col("op") == "U")
+        dirty = stream.withColumn(
+            "op", F.when(corrupt, F.lit("X")).otherwise(F.col("op"))
+        )
+        n = events.agg(F.max("event_id")).collect()[0][0] or 0
+        tmp = _scratch_dir("cdc_redrive", sf)
+        shutil.rmtree(tmp, ignore_errors=True)
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        root = f"{tmp}/t"
+        table = LakeTable.create(root, n_buckets=8, schema_version=2)
+        res = replay(
+            spark,
+            dirty,
+            table,
+            chunk_size=max(int(n) // 4, 1),
+            on_malformed="quarantine",
+        )
+        assert res["rows_quarantined"] > 0, "corruption slice was empty"
+        redrive_quarantine(
+            spark,
+            LakeTable.load(root),
+            res["quarantine_path"],
+            transform=lambda df: df.withColumn(
+                "op",
+                F.when(F.col("_reason") == "bad_op", F.lit("U")).otherwise(
+                    F.col("op")
+                ),
+            ),
+        )
+        _REDRIVE_ROOTS[sf] = root
+    final = LakeTable.load(_REDRIVE_ROOTS[sf]).read(spark)
+    return final.select(
+        "doc_id",
+        F.element_at("tokens", 1).alias("tok_value"),
+        F.element_at("tokens", 2).alias("tok_user"),
+        F.element_at("tokens", 3).alias("last_lsn"),
+        "n_tok",
+        F.col("source").alias("last_type"),
+    ).orderBy("doc_id")
+
+
+CDC_REDRIVE_RECONVERGE_SQL = """
+SELECT concat('u', user_id) AS doc_id,
+       CAST(FLOOR(value * 100) AS INT) AS tok_value,
+       CAST(user_id AS INT) AS tok_user,
+       CAST(event_id AS INT) AS last_lsn,
+       CAST(3 AS INTEGER) AS n_tok,
+       event_type AS last_type
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY
+          (CASE WHEN event_id % 97 = 0 AND event_type <> 'error' THEN 1 ELSE 0 END) DESC,
+          event_id DESC) = 1
+  AND event_type <> 'error'
+ORDER BY doc_id
+"""
+
+
 _WAP_ROOTS: dict[str, str] = {}
 
 
@@ -670,6 +750,7 @@ QUERIES = {
     "cdc_convert_documents": (cdc_convert_documents, CDC_CONVERT_DOCUMENTS_SQL),
     "cdc_restore_reconverge": (cdc_restore_reconverge, CDC_REPLAY_LATEST_STATE_SQL),
     "cdc_wap_publish_state": (cdc_wap_publish_state, CDC_REPLAY_LATEST_STATE_SQL),
+    "cdc_redrive_reconverge": (cdc_redrive_reconverge, CDC_REDRIVE_RECONVERGE_SQL),
     "cdc_schema_evolution_state": (
         cdc_schema_evolution_state,
         CDC_SCHEMA_EVOLUTION_STATE_SQL,
