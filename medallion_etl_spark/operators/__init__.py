@@ -137,7 +137,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "vocab_top_words",
     "training_mix_sample",
     # r3-first-green set — second green row
-    "cobertura_vendedor_marca",
+    # new in the r4 continuation: per-source token drift (takes
+    # cobertura_vendedor_marca's slot — green r3; two family entries
+    # remain in the window)
+    "source_token_drift",
     "cobertura_sucursal_marca",
     "cobertura_vendedor_generico",
     # new in the r4 continuation: token-id n-gram decontamination

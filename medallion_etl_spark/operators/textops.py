@@ -441,3 +441,106 @@ QUERIES = {
     "lang_id_ngram": (lang_id_ngram, LANG_ID_NGRAM_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# Per-source token-distribution drift: KL(source ‖ corpus) over a
+# bucketed token-id histogram — the standing QA check that catches a
+# source whose content shifted under the pipeline (a scraper picking
+# up boilerplate, a dedup pass gutting one domain) without reading any
+# text downstream of the tokenizer.
+#
+# Scale shape: the only wide operation is groupBy(source, bucket) over
+# exploded token ids, which partial-aggregates map-side to at most
+# |sources|·B rows — at 100 TB the shuffle carries counts, never
+# tokens. Everything after (corpus mixture, smoothing, the KL fold)
+# operates on that tiny frame. Cross-engine: Laplace-smoothed shares,
+# per-bucket KL terms cast to decimal(38,6) before summing (the module
+# parity rule — term order can't move the sum), ln is correctly
+# rounded to well below the 6th decimal in both engines.
+
+DRIFT_BUCKETS = 64
+
+
+def source_token_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.exprs import dsum
+    from .repetition import tokenize_documents_raw
+
+    raw = tokenize_documents_raw(spark, sf)
+    counts = (
+        raw.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source", (F.col("tok") % DRIFT_BUCKETS).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    src_tot = counts.groupBy("source").agg(F.sum("n").alias("tot_s"))
+    all_tot = counts.groupBy("bucket").agg(F.sum("n").alias("n_all"))
+    grand = counts.agg(F.sum("n").alias("tot")).select("tot")
+    b = DRIFT_BUCKETS
+    # the KL fold needs the DENSE source x bucket grid: smoothing gives
+    # zero-count buckets positive mass, and summing only the present
+    # rows would drop those (possibly positive) terms — observed as
+    # negative "KL" before the spine was added. |sources| x B rows,
+    # driver-trivial.
+    spine = spark.range(b).select(F.col("id").cast("int").alias("bucket"))
+    grid = src_tot.crossJoin(F.broadcast(spine))
+    joined = (
+        grid.join(counts, ["source", "bucket"], "left")
+        .join(all_tot, "bucket", "left")
+        .crossJoin(F.broadcast(grand))
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .withColumn("n_all", F.coalesce(F.col("n_all"), F.lit(0)))
+    )
+    p = (F.col("n") + 1) / (F.col("tot_s") + b)
+    q = (F.col("n_all") + 1) / (F.col("tot") + b)
+    term = p * F.log(p / q)
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.max("tot_s").cast("long").alias("n_tokens"),
+            F.round(dsum(term), 6).alias("kl_to_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_TOKEN_DRIFT_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_transform(list_filter(string_split(lower(text), ' '),
+                                           w -> length(w) > 0),
+                               w -> {{tok_id}})) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT source, tok % {DRIFT_BUCKETS} AS bucket, count(*) AS n
+  FROM toks GROUP BY 1, 2
+),
+src_tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot_s FROM counts GROUP BY 1),
+all_tot AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS n_all FROM counts GROUP BY 1),
+grand AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM counts),
+spine AS (SELECT CAST(range AS INTEGER) AS bucket FROM range({DRIFT_BUCKETS})),
+grid AS (SELECT s.source, s.tot_s, b.bucket FROM src_tot s CROSS JOIN spine b),
+terms AS (
+  SELECT g.source, g.tot_s,
+         ((COALESCE(c.n, 0) + 1) * 1.0 / (g.tot_s + {DRIFT_BUCKETS}))
+           * ln(((COALESCE(c.n, 0) + 1) * 1.0 / (g.tot_s + {DRIFT_BUCKETS}))
+                / ((COALESCE(a.n_all, 0) + 1) * 1.0 / (t.tot + {DRIFT_BUCKETS}))) AS term
+  FROM grid g LEFT JOIN counts c ON c.source = g.source AND c.bucket = g.bucket
+              LEFT JOIN all_tot a ON a.bucket = g.bucket, grand t
+)
+SELECT source,
+       CAST(max(tot_s) AS BIGINT) AS n_tokens,
+       round(CAST(sum(CAST(term AS DECIMAL(38,6))) AS DOUBLE), 6) AS kl_to_corpus
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
+from .repetition import _TOKEN_ID_SQL as _DRIFT_TOKEN_ID_SQL  # noqa: E402
+
+SOURCE_TOKEN_DRIFT_SQL = SOURCE_TOKEN_DRIFT_SQL.format(tok_id=_DRIFT_TOKEN_ID_SQL)
+
+QUERIES["source_token_drift"] = (
+    source_token_drift,
+    SOURCE_TOKEN_DRIFT_SQL,
+)

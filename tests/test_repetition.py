@@ -123,3 +123,15 @@ def test_token_ngram_decontaminate_invariants(spark, sf_tiny):
     assert (out["n_contaminated"] == 0).any()  # left join keeps clean docs
     assert ((out["contam_frac"] >= 0) & (out["contam_frac"] <= 1)).all()
     assert (out["keep"] == (out["contam_frac"] <= TOKEN_DECON_KEEP_MAX)).all()
+
+
+def test_source_token_drift_properties(spark, sf_tiny):
+    """Cross-engine values are the driver gate's job; structurally:
+    smoothed KL is non-negative (up to the 6-decimal rounding), one
+    row per source, token totals positive."""
+    from medallion_etl_spark.operators.textops import source_token_drift
+
+    out = source_token_drift(spark, sf_tiny).toPandas()
+    assert len(out) > 0 and out["source"].is_unique
+    assert (out["n_tokens"] > 0).all()
+    assert (out["kl_to_corpus"] >= -1e-6).all()
