@@ -40,14 +40,14 @@ from pyspark.sql import functions as F
 from .apply import apply_batch
 from .table import LakeTable, retry_on_fork_rewind
 
-from .manifest import RANGE_REFRESH_BASE
+from .manifest import REDRIVE_BASE
 
 DML_BASE = 1 << 38
-# top half of the former DML region ([3·2^37, 2^39)) now belongs to
+# the top half of the former DML region ([3·2^37, 2^39)) belongs to
 # quarantine redrives (cdc/redrive.py — hash-stable ids, so a crashed
 # redrive resumes as a manifest no-op); the DML counter would need
 # 2^37 commits on one table to reach it
-_DML_END = 3 << 37
+_DML_END = REDRIVE_BASE
 
 
 def _next_dml_id(table: LakeTable) -> int:

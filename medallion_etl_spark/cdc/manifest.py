@@ -22,12 +22,15 @@ from pyspark.sql import DataFrame, SparkSession
 from ..schemas import MANIFEST_SCHEMA
 from .table import LakeTable
 
-# Batch-id namespace boundary (the ONE definition — orchestrator
-# REFRESH_BASE, dml's _DML_END and ivm's cursor filter all import it):
-# ids below are replay chunks (small ints) and DML (2^38+); at/above
-# are LSN-range refreshes (2^39+) and streaming epochs (2^40+). A
-# derived table's version cursor = max committed id BELOW this base.
+# Batch-id namespace boundaries (the ONE definition — orchestrator
+# REFRESH_BASE, dml's _DML_END, redrive's namespace and ivm's cursor
+# filter all import them): ids below 2^38 are replay chunks (small
+# ints); [2^38, 3·2^37) is the DML counter; [3·2^37, 2^39) is
+# quarantine redrives (hash-stable, cdc/redrive.py); at/above are
+# LSN-range refreshes (2^39+) and streaming epochs (2^40+). A derived
+# table's version cursor = max committed id BELOW RANGE_REFRESH_BASE.
 RANGE_REFRESH_BASE = 1 << 39
+REDRIVE_BASE = 3 << 37
 
 
 def manifest_df(spark: SparkSession, table: LakeTable) -> DataFrame:

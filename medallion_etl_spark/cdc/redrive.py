@@ -17,7 +17,8 @@ never re-quarantined (a redrive loop that feeds itself is an outage,
 not a policy).
 
 Exactly-once: the batch id is STABLE — derived from the quarantine
-dir's name XOR a content signature (bit_xor of per-row xxhash64), in
+dir's name XOR a content signature (wrapping sum of per-row
+xxhash64, count-mixed), in
 its own namespace carved from the top of the DML region
 ([3·2^37, 2^39); ``dml._DML_END`` was lowered to match, and no real
 table's DML counter approaches 2^37 commits). Re-running the same
@@ -54,11 +55,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .apply import apply_batch
+from .constraints import violation_reason
+from .manifest import RANGE_REFRESH_BASE, REDRIVE_BASE
 from .quarantine import malformed_reason
 from .table import LakeTable, retry_on_fork_rewind
 
-REDRIVE_BASE = 3 << 37  # top half of the DML region; see dml._DML_END
-REDRIVE_END = 1 << 39  # == manifest.RANGE_REFRESH_BASE
+REDRIVE_END = RANGE_REFRESH_BASE  # namespace boundaries live in manifest.py
 _ID_MASK = (1 << 37) - 1
 
 
@@ -94,33 +96,53 @@ def redrive_quarantine(
         raw = transform(raw)
     events = raw.drop(*[c for c in ("_reason", "_chunk") if c in raw.columns])
 
+    # "still bad" = malformed OR (for '-checks' datasets) still
+    # violating a CHECK constraint — otherwise 'drop' could never drop
+    # an uncured violation and apply_batch's enforcement would fail
+    # the whole redrive mid-flight with the batch id already signed
+    # over rows that never applied. Tombstones stay exempt, matching
+    # every writer.
+    still_bad = malformed_reason(table.key_col)
+    viol = violation_reason(table.constraints)
+    if viol is not None:
+        still_bad = F.coalesce(still_bad, viol)
+
     # one small agg: totals, still-bad count, and the content signature
     # over exactly the rows that would be applied (kept rows only, so
     # a 'drop' redrive and a fail-then-fix redrive of the same cured
-    # set mint the same id)
-    ev = events.withColumn("_rr", malformed_reason(table.key_col)).withColumn(
+    # set mint the same id). The signature is a wrapping SUM of
+    # per-row hashes mixed with the count — NOT bit_xor, which cancels
+    # rows appearing an even number of times (duplicate redelivered
+    # garbage is common in quarantine), letting a later re-quarantine
+    # collide with an already-committed id and silently drop rows.
+    ev = events.withColumn("_rr", still_bad).withColumn(
         "_h", F.xxhash64(*[F.col(c) for c in events.columns])
     )
     crow = ev.agg(
         F.count(F.lit(1)).alias("n_total"),
         F.count("_rr").alias("n_bad"),
         F.coalesce(
-            F.expr("bit_xor(CASE WHEN _rr IS NULL THEN _h END)"), F.lit(0)
+            F.sum(
+                F.when(F.col("_rr").isNull(), F.col("_h")).cast("decimal(38,0)")
+            ),
+            F.lit(0),
         ).alias("sig"),
     ).collect()[0]
     n_total, n_bad = int(crow["n_total"]), int(crow["n_bad"])
     n_keep = n_total - n_bad
     if n_bad and on_still_bad == "fail":
         raise ValueError(
-            f"{n_bad} of {n_total} quarantined rows are still malformed "
-            "after the transform: fix them (transform=) or pass "
+            f"{n_bad} of {n_total} quarantined rows are still malformed or "
+            "constraint-violating after the transform: fix them (transform=) or pass "
             "on_still_bad='drop' — a redrive never re-quarantines"
         )
     if n_keep == 0:
         shutil.rmtree(path, ignore_errors=True)
         return {"redriven": 0, "still_bad_dropped": n_bad, "committed": False}
 
-    batch_id = _batch_id(path, int(crow["sig"]))
+    # mix the kept-row count in as well: with SUM a collision now
+    # needs both equal hash-sums and equal cardinality
+    batch_id = _batch_id(path, int(crow["sig"]) ^ (n_keep * 0x9E3779B97F4A7C15))
     if batch_id in LakeTable.load(table.root).committed_batches():
         # crash-between-commit-and-cleanup resume: finish the cleanup
         shutil.rmtree(path, ignore_errors=True)

@@ -1320,15 +1320,21 @@ class LakeTable:
         marker): its local dirs moved away, so leaving it loadable
         would be silent-corruption bait.
 
-        Crash window (documented, not hidden): a crash between the dir
-        moves and the commit leaves the SOURCE unchanged — publish is
-        never partially visible (the atomic-commit invariant) — but
+        Crash windows (documented, not hidden): a crash between the
+        dir moves and the commit leaves the SOURCE unchanged — publish
+        is never partially visible (the atomic-commit invariant) — but
         the stage broken; recovery is re-staging from the source, and
-        the already-moved dirs are unreferenced young orphans that
-        ``remove_orphans`` reclaims after its age guard. On an object
-        store this step would be a server-side copy or a shared-prefix
-        pointer rewrite; the single-filesystem rename is the sandbox
-        analog."""
+        the already-moved dirs are unreferenced YOUNG orphans (moved
+        files are utime-touched precisely so the ``remove_orphans``
+        in-flight-writer age guard covers them, however long the stage
+        was audited before publishing) that the sweep reclaims once
+        they age out. A crash between the commit and the stage
+        invalidation is detected on re-run: the head's data state
+        equals this stage's adopted state, so ``publish_from`` finishes
+        the invalidation and reports ``already_published`` instead of
+        mis-diagnosing divergence. On an object store the move step
+        would be a server-side copy or a shared-prefix pointer
+        rewrite; the single-filesystem rename is the sandbox analog."""
         stage = LakeTable.load(stage_root)
         src_root = os.path.abspath(self.root)
         origin = stage.meta.get("cloned_from")
@@ -1356,6 +1362,58 @@ class LakeTable:
         fork = int(origin["version"])
         head = LakeTable.load(src_root)
 
+        def rewrite_dir(d: str) -> str:
+            if os.path.isabs(d):
+                if d.startswith(src_root + os.sep):
+                    return os.path.relpath(d, src_root)
+                raise ValueError(
+                    f"stage bucket dir {d} points outside the source "
+                    "table (a clone-of-a-clone?): refusing to publish"
+                )
+            return d  # stage-local: keeps its relative name under src
+
+        def rewritten_buckets() -> dict:
+            out = json.loads(json.dumps(stage.meta["buckets"]))  # deep copy
+            for entry in out.values():
+                entry["dir"] = rewrite_dir(entry["dir"])
+                for dlt in entry.get("deltas", []):
+                    dlt["dir"] = rewrite_dir(dlt["dir"])
+            return out
+
+        def finish_invalidate(version: int) -> None:
+            # CURRENT goes FIRST: from that instant the stage fails to
+            # load (loudly) instead of serving entries whose dirs moved
+            # away; the marker is diagnostics, written second so a
+            # crash between the two only loses the breadcrumb
+            md = os.path.join(stage.root, "metadata")
+            cur = os.path.join(md, "CURRENT")
+            if os.path.exists(cur):
+                os.remove(cur)
+            marker = os.path.join(md, "PUBLISHED")
+            with open(marker + ".tmp", "w") as f:
+                json.dump({"published_to": src_root, "source_version": version}, f)
+            os.replace(marker + ".tmp", marker)
+
+        adopted = rewritten_buckets()
+
+        # idempotent re-publish: if a previous attempt COMMITTED but
+        # crashed before invalidating the stage, the head's data state
+        # is exactly this stage's adopted state — finish the
+        # invalidation instead of mis-reporting "source advanced"
+        if (
+            head.meta["buckets"] == adopted
+            and head.meta["committed_batches"] == stage.meta["committed_batches"]
+            and head.meta["schema_version"] == stage.meta["schema_version"]
+        ):
+            finish_invalidate(head.version)
+            return {
+                "published": True,
+                "already_published": True,
+                "version": head.version,
+                "staged_commits": stage.version,
+                "staged_batches": [],
+            }
+
         def data_state(meta: dict) -> tuple:
             # everything the publish would overwrite; NOT the clone
             # registry (clone_to itself commits a registration, so the
@@ -1372,27 +1430,26 @@ class LakeTable:
                 meta.get("constraints", {}),
             )
 
-        if data_state(head.meta) != data_state(
-            LakeTable.load_version(src_root, fork).meta
-        ):
-            raise RuntimeError(
-                f"source advanced past the stage's fork point (version "
-                f"{fork}, HEAD {head.version}, data state differs): "
-                "fast-forward publish would discard those commits — "
-                "re-stage from the current HEAD and re-apply the stream "
-                "(LWW reconverges)"
-            )
+        fork_state = data_state(LakeTable.load_version(src_root, fork).meta)
+
+        def check_not_diverged(h: "LakeTable") -> None:
+            if data_state(h.meta) != fork_state:
+                raise RuntimeError(
+                    f"source advanced past the stage's fork point (version "
+                    f"{fork}, HEAD {h.version}, data state differs): "
+                    "fast-forward publish would discard those commits — "
+                    "re-stage from the current HEAD and re-apply the "
+                    "stream (LWW reconverges)"
+                )
+
+        check_not_diverged(head)
 
         moved: list[str] = []  # stage-relative dirs now living under src
+        now = time.time()
 
-        def adopt(d: str) -> str:
+        def move_local(d: str) -> None:
             if os.path.isabs(d):
-                if d.startswith(src_root + os.sep):
-                    return os.path.relpath(d, src_root)
-                raise ValueError(
-                    f"stage bucket dir {d} points outside the source "
-                    "table (a clone-of-a-clone?): refusing to publish"
-                )
+                return
             dst = os.path.join(src_root, d)
             if os.path.exists(dst):
                 raise RuntimeError(
@@ -1402,58 +1459,72 @@ class LakeTable:
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(os.path.join(stage.root, d), dst)
             moved.append(d)
-            return d
+            # rename preserves mtimes, but remove_orphans' in-flight-
+            # writer age guard reads them: a stage audited for longer
+            # than the guard window would otherwise be deletable in the
+            # move-to-commit gap (and after a crash, as an "old"
+            # orphan). Touch everything so the moved dirs are YOUNG
+            # unreferenced dirs until the commit references them.
+            os.utime(dst, (now, now))
+            for dp, _, fs in os.walk(dst):
+                for fn in fs:
+                    os.utime(os.path.join(dp, fn), (now, now))
 
-        buckets = json.loads(json.dumps(stage.meta["buckets"]))  # deep copy
         stage_abs = os.path.abspath(stage_root)
         try:
-            for entry in buckets.values():
-                entry["dir"] = adopt(entry["dir"])
+            for entry in stage.meta["buckets"].values():
+                move_local(entry["dir"])
                 for dlt in entry.get("deltas", []):
-                    dlt["dir"] = adopt(dlt["dir"])
-            head.commit(
-                {},
-                set(),
-                None,
-                meta_updates={
-                    "buckets": buckets,
-                    "committed_batches": stage.meta["committed_batches"],
-                    "schema_version": stage.meta["schema_version"],
-                    "schemas": stage.meta["schemas"],
-                    "n_buckets": stage.meta["n_buckets"],
-                    "clustering": stage.meta.get("clustering"),
-                    "compaction_watermark_lsn": stage.meta.get(
-                        "compaction_watermark_lsn", -1
-                    ),
-                    "constraints": stage.meta.get("constraints", {}),
-                    "bloom_key_filter": stage.meta.get("bloom_key_filter", False),
-                    # deregister the stage in the SAME atomic commit: it
-                    # stops existing as a clone the moment it is published
-                    "clones": [
-                        c for c in head.meta.get("clones", []) if c != stage_abs
-                    ],
-                },
-            )
+                    move_local(dlt["dir"])
+
+            def commit_once() -> "LakeTable":
+                # fresh handle per attempt (the ONE fork/rewind retry
+                # policy): a benign concurrent commit — another
+                # clone_to registration, an expire — re-checks data
+                # state and retries instead of aborting the publish
+                h = LakeTable.load(src_root)
+                check_not_diverged(h)
+                h.commit(
+                    {},
+                    set(),
+                    None,
+                    meta_updates={
+                        "buckets": adopted,
+                        "committed_batches": stage.meta["committed_batches"],
+                        "schema_version": stage.meta["schema_version"],
+                        "schemas": stage.meta["schemas"],
+                        "n_buckets": stage.meta["n_buckets"],
+                        "clustering": stage.meta.get("clustering"),
+                        "compaction_watermark_lsn": stage.meta.get(
+                            "compaction_watermark_lsn", -1
+                        ),
+                        "constraints": stage.meta.get("constraints", {}),
+                        "bloom_key_filter": stage.meta.get(
+                            "bloom_key_filter", False
+                        ),
+                        # deregister the stage in the SAME atomic
+                        # commit: it stops existing as a clone the
+                        # moment it is published
+                        "clones": [
+                            c
+                            for c in h.meta.get("clones", [])
+                            if c != stage_abs
+                        ],
+                    },
+                )
+                return h
+
+            head = retry_on_fork_rewind(commit_once)
         except BaseException:
-            # a lost commit race (or a collision partway through the
-            # moves) must leave the STAGE intact, not half-gutted: move
-            # everything back before surfacing the error. Renames on
-            # one filesystem don't fail for data reasons, so this undo
-            # is as reliable as the moves themselves.
+            # a lost race (divergence mid-flight, or a collision
+            # partway through the moves) must leave the STAGE intact,
+            # not half-gutted: move everything back before surfacing
+            # the error. Renames on one filesystem don't fail for data
+            # reasons, so this undo is as reliable as the moves.
             for d in moved:
                 os.rename(os.path.join(src_root, d), os.path.join(stage.root, d))
             raise
-        # invalidate the stage LOUDLY: swap its pointer for a marker in
-        # one rename, so any concurrent reader fails with a missing
-        # CURRENT instead of reading entries whose dirs moved away
-        marker = os.path.join(stage.root, "metadata", "PUBLISHED")
-        with open(marker + ".tmp", "w") as f:
-            json.dump(
-                {"published_to": src_root, "source_version": head.version},
-                f,
-            )
-        os.replace(marker + ".tmp", marker)
-        os.remove(os.path.join(stage.root, "metadata", "CURRENT"))
+        finish_invalidate(head.version)
         return {
             "published": True,
             "version": head.version,  # commit() advanced the handle in place

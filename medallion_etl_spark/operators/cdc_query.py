@@ -82,6 +82,22 @@ def _scratch_dir(prefix: str, sf: str) -> str:
     return f"{family}{digest}_p{os.getpid()}"
 
 
+def _latest_state_projection(final: DataFrame) -> DataFrame:
+    """The ONE oracle-paired projection of a replayed table's final
+    state (tokens carry [floor(value*100), user_id, event_id], so the
+    comparison is value-based and position-independent) — shared by
+    every flagship that must equal CDC_REPLAY_LATEST_STATE_SQL, so the
+    column aliases can never drift between them."""
+    return final.select(
+        "doc_id",
+        F.element_at("tokens", 1).alias("tok_value"),
+        F.element_at("tokens", 2).alias("tok_user"),
+        F.element_at("tokens", 3).alias("last_lsn"),
+        "n_tok",
+        F.col("source").alias("last_type"),
+    ).orderBy("doc_id")
+
+
 def _replay_flagship(
     spark: SparkSession,
     sf: str,
@@ -108,14 +124,7 @@ def _replay_flagship(
     table = LakeTable.create(root, n_buckets=8, schema_version=2, constraints=constraints)
     replay(spark, stream, table, chunk_size=chunk, **replay_kw)
     final = LakeTable.load(root).read(spark)
-    return final.select(
-        "doc_id",
-        F.element_at("tokens", 1).alias("tok_value"),
-        F.element_at("tokens", 2).alias("tok_user"),
-        F.element_at("tokens", 3).alias("last_lsn"),
-        "n_tok",
-        F.col("source").alias("last_type"),
-    ).orderBy("doc_id")
+    return _latest_state_projection(final)
 
 
 def cdc_replay_latest_state(spark: SparkSession, sf: str) -> DataFrame:
@@ -349,14 +358,7 @@ def cdc_restore_reconverge(spark: SparkSession, sf: str) -> DataFrame:
         replay(spark, stream, LakeTable.load(root), chunk_size=chunk)
         _RESTORE_ROOTS[sf] = root
     final = LakeTable.load(_RESTORE_ROOTS[sf]).read(spark)
-    return final.select(
-        "doc_id",
-        F.element_at("tokens", 1).alias("tok_value"),
-        F.element_at("tokens", 2).alias("tok_user"),
-        F.element_at("tokens", 3).alias("last_lsn"),
-        "n_tok",
-        F.col("source").alias("last_type"),
-    ).orderBy("doc_id")
+    return _latest_state_projection(final)
 
 
 _CONVERT_ROOTS: dict[str, str] = {}
@@ -568,14 +570,7 @@ def cdc_redrive_reconverge(spark: SparkSession, sf: str) -> DataFrame:
         )
         _REDRIVE_ROOTS[sf] = root
     final = LakeTable.load(_REDRIVE_ROOTS[sf]).read(spark)
-    return final.select(
-        "doc_id",
-        F.element_at("tokens", 1).alias("tok_value"),
-        F.element_at("tokens", 2).alias("tok_user"),
-        F.element_at("tokens", 3).alias("last_lsn"),
-        "n_tok",
-        F.col("source").alias("last_type"),
-    ).orderBy("doc_id")
+    return _latest_state_projection(final)
 
 
 CDC_REDRIVE_RECONVERGE_SQL = """
@@ -637,14 +632,7 @@ def cdc_wap_publish_state(spark: SparkSession, sf: str) -> DataFrame:
         assert res["published"], res
         _WAP_ROOTS[sf] = root
     final = LakeTable.load(_WAP_ROOTS[sf]).read(spark)
-    return final.select(
-        "doc_id",
-        F.element_at("tokens", 1).alias("tok_value"),
-        F.element_at("tokens", 2).alias("tok_user"),
-        F.element_at("tokens", 3).alias("last_lsn"),
-        "n_tok",
-        F.col("source").alias("last_type"),
-    ).orderBy("doc_id")
+    return _latest_state_projection(final)
 
 
 def cdc_schema_evolution_state(spark: SparkSession, sf: str) -> DataFrame:

@@ -285,7 +285,7 @@ def token_ngram_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     bench = (
         flat.filter(is_bench).select("g").distinct().withColumn("_hit", F.lit(1))
     )
-    return (
+    per_doc = (
         flat.filter(~is_bench)
         .join(F.broadcast(bench), "g", "left")
         .groupBy("doc_id")
@@ -293,9 +293,23 @@ def token_ngram_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_ngrams"),
             F.count("_hit").alias("n_contaminated"),
         )
+    )
+    # the every-doc contract: docs shorter than K tokens carry no
+    # n-gram (per_doc misses them) but the funnel still needs their
+    # explicit keep row — left join from the full non-bench corpus
+    base = raw.filter(~is_bench).select("doc_id")
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .withColumn("n_ngrams", F.coalesce("n_ngrams", F.lit(0).cast("long")))
+        .withColumn(
+            "n_contaminated", F.coalesce("n_contaminated", F.lit(0).cast("long"))
+        )
         .withColumn(
             "contam_frac",
-            F.round(F.col("n_contaminated") / F.col("n_ngrams"), 6),
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.round(F.col("n_contaminated") / F.col("n_ngrams"), 6),
+            ).otherwise(F.lit(0.0)),
         )
         .withColumn("keep", F.col("contam_frac") <= TOKEN_DECON_KEEP_MAX)
         .orderBy("doc_id")
@@ -317,16 +331,29 @@ flat AS (
   FROM toks
   WHERE len(tokens) >= {TOKEN_DECON_K}
 ),
-bench AS (SELECT DISTINCT g FROM flat WHERE doc_id % 20 = 0)
-SELECT f.doc_id,
-       CAST(count(*) AS BIGINT) AS n_ngrams,
-       CAST(count(b.g) AS BIGINT) AS n_contaminated,
-       round(count(b.g) * 1.0 / count(*), 6) AS contam_frac,
-       round(count(b.g) * 1.0 / count(*), 6) <= {TOKEN_DECON_KEEP_MAX} AS keep
-FROM flat f LEFT JOIN bench b USING (g)
-WHERE f.doc_id % 20 <> 0
-GROUP BY f.doc_id
-ORDER BY f.doc_id
+bench AS (SELECT DISTINCT g FROM flat WHERE doc_id % 20 = 0),
+per_doc AS (
+  SELECT f.doc_id,
+         count(*) AS n_ngrams,
+         count(b.g) AS n_contaminated
+  FROM flat f LEFT JOIN bench b USING (g)
+  WHERE f.doc_id % 20 <> 0
+  GROUP BY f.doc_id
+),
+out AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+         CAST(COALESCE(p.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         CASE WHEN COALESCE(p.n_ngrams, 0) > 0
+              THEN round(p.n_contaminated * 1.0 / p.n_ngrams, 6)
+              ELSE 0.0 END AS contam_frac
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+  WHERE d.doc_id % 20 <> 0
+)
+SELECT doc_id, n_ngrams, n_contaminated, contam_frac,
+       contam_frac <= {TOKEN_DECON_KEEP_MAX} AS keep
+FROM out
+ORDER BY doc_id
 """
 
 QUERIES["token_ngram_decontaminate"] = (

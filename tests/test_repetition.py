@@ -116,9 +116,19 @@ def test_token_ngram_decontaminate_invariants(spark, sf_tiny):
         token_ngram_decontaminate,
     )
 
+    from medallion_etl_spark.operators.repetition import TOKEN_DECON_K
+    from medallion_etl_spark.sources.readers import load_table
+
     out = token_ngram_decontaminate(spark, sf_tiny).toPandas()
     assert len(out) > 0
     assert not (out["doc_id"] % 20 == 0).any()  # eval suite excluded
+    # EVERY non-benchmark doc gets a row — including docs shorter than
+    # K tokens (n_ngrams=0, keep=True), the funnel's join contract
+    docs = load_table(spark, sf_tiny, "documents").toPandas()
+    n_corpus = int((docs["doc_id"] % 20 != 0).sum())
+    assert len(out) == n_corpus
+    short = out[out["n_ngrams"] == 0]
+    assert short["keep"].all() and (short["contam_frac"] == 0).all()
     assert (out["n_contaminated"] <= out["n_ngrams"]).all()
     assert (out["n_contaminated"] == 0).any()  # left join keeps clean docs
     assert ((out["contam_frac"] >= 0) & (out["contam_frac"] <= 1)).all()

@@ -139,3 +139,27 @@ def test_staged_schema_evolution_publishes(spark, tmp_path):
     assert "wap_tag" in [f.name for f in head.schema().fields]
     got = head.read(spark)
     assert got.filter(F.col("wap_tag").isNull()).count() == got.count()
+
+
+def test_republish_after_crashed_invalidation(spark, tmp_path, staged):
+    """Crash window between the source commit and the stage
+    invalidation: a re-run must detect that the head's data state IS
+    the stage's adopted state, finish the invalidation, and report
+    already_published — not mis-diagnose divergence."""
+    src_root, stage_root, _ = staged
+    md = os.path.join(stage_root, "metadata")
+    with open(os.path.join(md, "CURRENT")) as f:
+        cur = f.read()
+
+    res = LakeTable.load(src_root).publish_from(stage_root)
+    assert res["published"] and not res.get("already_published")
+
+    # resurrect CURRENT: the state a crash-before-invalidate leaves
+    os.remove(os.path.join(md, "PUBLISHED"))
+    with open(os.path.join(md, "CURRENT"), "w") as f:
+        f.write(cur)
+
+    again = LakeTable.load(src_root).publish_from(stage_root)
+    assert again["published"] and again["already_published"]
+    assert not LakeTable.exists(stage_root)  # invalidation finished
+    assert os.path.exists(os.path.join(md, "PUBLISHED"))
