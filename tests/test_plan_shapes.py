@@ -213,3 +213,52 @@ def test_dup_span_shuffles_digests_not_text(spark, sf_small):
     # (printed once under each InMemoryTableScan) — there is no
     # uncached scan outside an InMemoryRelation block
     assert p.count("FileScan parquet") <= p.count("InMemoryRelation")
+
+
+def test_token_decon_broadcasts_eval_and_shuffles_digests(spark, sf_small):
+    """Token-level decontamination mirrors the word-level invariants:
+    the eval digest set broadcasts (the corpus probe joins map-side —
+    an SMJ would shuffle every corpus n-gram at 100 TB), the persisted
+    n-gram frame serves both the bench side and the probe, and no
+    exchange carries the text column (windows are md5'd pre-explode)."""
+    from medallion_etl_spark.operators.repetition import token_ngram_decontaminate
+
+    p = plan(token_ngram_decontaminate(spark, sf_small), mode="simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("InMemoryTableScan") >= 2, "n-gram frame not reused"
+    post = p.split("InMemoryTableScan", 1)[0]
+    assert "text#" not in post, post
+
+
+def test_source_token_drift_partial_agg_and_no_text_shuffle(spark, sf_small):
+    """The only wide op is the (source, bucket) count — it must have a
+    map-side partial aggregation (shuffle carries at most |sources|xB
+    count rows), and the token explode projects text away before any
+    exchange."""
+    from medallion_etl_spark.operators.textops import source_token_drift
+
+    p = plan(source_token_drift(spark, sf_small))
+    assert "partial_count" in p or "partial_" in p, "no map-side partial agg"
+    assert "EvalPython" not in p
+    # text is read (the tokenizer needs it) but never exchanged
+    for frag in plan(source_token_drift(spark, sf_small), mode="simple").split(
+        "Exchange"
+    )[1:]:
+        assert "text#" not in frag.splitlines()[0]
+
+
+def test_split_assignment_is_scan_speed(spark, sf_small):
+    """The split is one codegen expression over the scan: no exchange
+    other than the oracle-stability sort, no Python, and the scan reads
+    only the two columns the query projects (never text)."""
+    from medallion_etl_spark.operators.sampling import train_val_test_split
+
+    df = train_val_test_split(spark, sf_small)
+    p = plan(df)
+    assert "EvalPython" not in p
+    read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "doc_id" in read_schema and "source" in read_schema
+    assert "text" not in read_schema
+    # exactly the orderBy's range exchange, nothing else
+    assert plan(df, mode="simple").count("Exchange") <= 2
