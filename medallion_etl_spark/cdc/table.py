@@ -1111,6 +1111,74 @@ class LakeTable:
         )
         return {"buckets": sorted(new_dirs), "buckets_dropped": sorted(removed)}
 
+    def fold_deltas(
+        self,
+        spark: SparkSession,
+        *,
+        min_deltas: int = 1,
+        buckets: list[int] | None = None,
+    ) -> dict:
+        """Targeted merge-on-read delta compaction (the Iceberg
+        ``rewrite_data_files`` / Delta delete-vector-compaction analog):
+        fold base ∪ deltas into a fresh base for ONLY the buckets
+        carrying at least ``min_deltas`` stacked deltas (or an explicit
+        ``buckets`` list) — cost O(touched buckets), never O(table).
+
+        This is the standing-maintenance half of the MOR trade: the
+        write path's ``mor_max_deltas`` cap folds a bucket on its NEXT
+        write, but a bucket that stops receiving writes keeps paying
+        the read-side fold forever — at 10^10 rows a full ``compact()``
+        to fix three hot buckets is the wrong tool. ``fold_deltas``
+        rewrites exactly the delta-carrying buckets and commits their
+        new pointers in one atomic swap.
+
+        Deliberately NOT ``compact()``: no tombstone purge (the
+        compaction watermark is untouched, so change-feed retention is
+        unaffected), no clustering change, clean buckets' entries keep
+        their exact dir strings — a feed spanning the fold stays a
+        metadata bucket-diff and reads zero data (the new pointers
+        carry max_lsn footer stats at or below the old watermark)."""
+        chosen = sorted(
+            int(b)
+            for b, e in self.meta["buckets"].items()
+            if (buckets is None or int(b) in set(buckets))
+            and len(e.get("deltas", [])) >= max(min_deltas, 1)
+        )
+        if not chosen:
+            return {"folded_buckets": [], "committed": False}
+        folded = self.read(spark, buckets=chosen, raw=True)
+        keep = folded.withColumn(
+            "_bucket", bucket_expr(self.key_col, self.n_buckets)
+        )
+        rel_dir = self.new_data_dir()
+        out_dir = os.path.join(self.root, rel_dir)
+        (
+            keep.repartition(len(chosen), F.col("_bucket"))
+            .sortWithinPartitions("_bucket", self.key_col)
+            .write.mode("overwrite")
+            .options(**self.writer_options())
+            .partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+        new_dirs = map_bucket_dirs(self.root, rel_dir)
+        # a chosen bucket folding to zero rows (possible only if every
+        # source file was empty) simply loses its entry
+        removed = set(chosen) - set(new_dirs)
+        fstats = bucket_footer_stats(self.root, new_dirs)
+        self.commit(
+            new_dirs,
+            removed,
+            None,
+            bucket_row_counts={b: s[0] for b, s in fstats.items()},
+            bucket_max_lsns={b: s[1] for b, s in fstats.items()},
+        )
+        return {
+            "folded_buckets": chosen,
+            "buckets_dropped": sorted(removed),
+            "committed": True,
+            "version": self.version,
+        }
+
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> dict:
         """Bucket-count evolution (the Iceberg partition-spec-evolution
         analog): rewrite the table under a new murmur3 bucket count in

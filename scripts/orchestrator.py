@@ -243,6 +243,17 @@ def cmd_publish(spark, args) -> dict:
     return LakeTable.load(_table_root(args.out)).publish_from(args.stage)
 
 
+def cmd_fold_deltas(spark, args) -> dict:
+    """Targeted MOR delta compaction: fold base ∪ deltas for only the
+    delta-carrying buckets (cost O(touched buckets)); tombstones and
+    the compaction watermark untouched — see LakeTable.fold_deltas."""
+    from medallion_etl_spark.cdc.table import LakeTable
+
+    return LakeTable.load(_table_root(args.out)).fold_deltas(
+        spark, min_deltas=int(args.min_deltas)
+    )
+
+
 def cmd_redrive(spark, args) -> dict:
     """Re-apply a quarantine dataset at fresh LSNs (cdc/redrive.py).
     ``--set col=expr`` (repeatable) is the remediation — e.g.
@@ -582,6 +593,8 @@ def main() -> None:
     p.add_argument("--dst", required=True, help="root for the zero-copy shallow clone")
     p = sub.add_parser("publish")
     p.add_argument("--stage", required=True, help="staging clone root to fast-forward from")
+    p = sub.add_parser("fold-deltas")
+    p.add_argument("--min-deltas", default="1", help="fold buckets with >= this many stacked deltas")
     p = sub.add_parser("redrive")
     p.add_argument("--path", required=True, help="quarantine dataset dir to re-apply")
     p.add_argument("--set", action="append", help="remediation col=expr (repeatable)")
@@ -667,6 +680,7 @@ def main() -> None:
         "clone": cmd_clone,
         "publish": cmd_publish,
         "redrive": cmd_redrive,
+        "fold-deltas": cmd_fold_deltas,
         "refresh-signatures": cmd_refresh_signatures,
         "refresh-agg": cmd_refresh_agg,
         "restore": cmd_restore,

@@ -336,3 +336,52 @@ def test_projected_read_prunes_payload_through_the_fold(spark, tmp_path):
     got = table.lookup(spark, keys, columns=["n_tok"]).toPandas()
     assert set(got.columns) == {"doc_id", "n_tok"}
     assert len(got) == len(keys)
+
+
+def test_fold_deltas_targets_only_delta_buckets(spark, tmp_path, events_path, events_pdf):
+    """Standing MOR maintenance (LakeTable.fold_deltas): folds base ∪
+    deltas to a new base for delta-carrying buckets only — state
+    unchanged, delta lists gone, CLEAN buckets' entries keep their
+    exact dir strings, tombstones and the compaction watermark
+    untouched, and a feed spanning the fold reads zero rows."""
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    events = spark.read.parquet(events_path)
+    replay(spark, events, table, chunk_size=1_500, write_mode="mor")
+    table = LakeTable.load(table.root)
+    pre_version = table.version
+    before = table.read(spark).toPandas()
+    pre_deltas = _delta_counts(table)
+    assert pre_deltas
+    clean_entries = {
+        b: e["dir"]
+        for b, e in table.meta["buckets"].items()
+        if not e.get("deltas")
+    }
+    pre_raw = table.read(spark, raw=True).toPandas()
+    n_tombstones = int(pre_raw["_deleted"].fillna(False).sum())
+    assert n_tombstones > 0  # the stream carries deletes
+
+    res = table.fold_deltas(spark)
+    assert res["committed"]
+    assert sorted(res["folded_buckets"]) == sorted(pre_deltas)
+
+    head = LakeTable.load(table.root)
+    assert not _delta_counts(head), "deltas survived the fold"
+    for b, d in clean_entries.items():
+        assert head.meta["buckets"][b]["dir"] == d  # untouched pointers
+    assert_frames_equal(head.read(spark).toPandas(), before)
+    # tombstones NOT purged (fold is not compact): same raw tombstone count
+    post_raw = head.read(spark, raw=True).toPandas()
+    assert int(post_raw["_deleted"].fillna(False).sum()) == n_tombstones
+    assert head.meta.get("compaction_watermark_lsn", -1) == table.meta.get(
+        "compaction_watermark_lsn", -1
+    )
+    # feed across the fold: pointers moved, no new LSNs -> zero rows,
+    # and the footer stats make it a pure metadata decision
+    feed = head.read_changes(spark, since_version=pre_version)
+    assert feed.count() == 0
+
+    # threshold: nothing left at or above 1 delta -> no-op, no commit
+    again = LakeTable.load(table.root).fold_deltas(spark)
+    assert again == {"folded_buckets": [], "committed": False}
+    assert LakeTable.load(table.root).version == head.version
