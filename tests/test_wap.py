@@ -163,3 +163,92 @@ def test_republish_after_crashed_invalidation(spark, tmp_path, staged):
     assert again["published"] and again["already_published"]
     assert not LakeTable.exists(stage_root)  # invalidation finished
     assert os.path.exists(os.path.join(md, "PUBLISHED"))
+
+
+def test_wap_equals_direct_for_any_stage_program(spark, tmp_path_factory):
+    """Property: for ANY random program of staged operations — chunk
+    applies (COW or MOR, any order), predicate DML, add-column DDL —
+    publish_from produces exactly the state the same program produces
+    applied directly to the source. The stage detour must be
+    semantically invisible."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from medallion_etl_spark.cdc.apply import apply_batch
+    from medallion_etl_spark.cdc.dml import delete_where, update_where
+
+    KEYS = [f"k{i}" for i in range(6)]
+
+    @settings(
+        max_examples=4,  # each example runs the program TWICE (stage+direct)
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        events=st.lists(
+            st.tuples(
+                st.sampled_from(range(len(KEYS))),
+                st.sampled_from(["U", "U", "U", "D"]),
+            ),
+            min_size=4,
+            max_size=16,
+        ),
+        data=st.data(),
+    )
+    def run(events, data):
+        n = len(events)
+        base_n = data.draw(st.integers(min_value=1, max_value=n - 1))
+        rows = [
+            (lsn, op, KEYS[ki], [lsn], 1, "s", None, 1)
+            for lsn, (ki, op) in enumerate(events)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "lsn long, op string, doc_id string, tokens array<int>, n_tok int, "
+            "source string, lang string, schema_version int",
+        )
+        mode = data.draw(st.sampled_from(["cow", "mor"]))
+        do_dml = data.draw(st.sampled_from([None, "delete", "update"]))
+        do_ddl = data.draw(st.booleans())
+
+        def program(root: str) -> None:
+            t = LakeTable.load(root)
+            tail = df.filter(F.col("lsn") >= base_n)
+            apply_batch(
+                spark, t, tail, batch_id=7, lsn_lo=base_n, lsn_hi=n - 1,
+                write_mode=mode,
+            )
+            t = LakeTable.load(root)
+            if do_ddl:
+                t.add_column("wap_extra", "string")
+                t = LakeTable.load(root)
+            if do_dml == "delete":
+                delete_where(spark, t, "n_tok = 1 AND doc_id = 'k0'")
+            elif do_dml == "update":
+                update_where(spark, t, "doc_id = 'k1'", {"source": "'patched'"})
+
+        tmp = tmp_path_factory.mktemp("wapprop")
+        src_root, ctl_root = str(tmp / "src"), str(tmp / "ctl")
+        for root in (src_root, ctl_root):
+            t = LakeTable.create(root, n_buckets=4, schema_version=1)
+            apply_batch(
+                spark, t,
+                df.filter(F.col("lsn") < base_n),
+                batch_id=1, lsn_lo=0, lsn_hi=base_n - 1,
+            )
+        # staged on a clone of src; direct on ctl
+        stage_root = str(tmp / "stage")
+        LakeTable.load(src_root).clone_to(stage_root)
+        program(stage_root)
+        res = LakeTable.load(src_root).publish_from(stage_root)
+        assert res["published"]
+        program(ctl_root)
+
+        from .cdc_oracle import assert_frames_equal, canon
+
+        assert_frames_equal(
+            LakeTable.load(src_root).read(spark).toPandas(),
+            canon(LakeTable.load(ctl_root).read(spark).toPandas()),
+        )
+
+    run()
