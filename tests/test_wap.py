@@ -252,3 +252,47 @@ def test_wap_equals_direct_for_any_stage_program(spark, tmp_path_factory):
         )
 
     run()
+
+
+def test_streaming_stage_publish_then_seamless_continuation(spark, tmp_path):
+    """Streaming WAP: drain a stream into a staged clone, publish, then
+    CONTINUE the same stream against the SOURCE with the same
+    checkpoint once new files arrive. The adopted manifest carries the
+    stage's epoch batch ids, and the checkpoint carries the offsets, so
+    the continuation reads only the new files and the final state
+    equals the full-stream oracle — the stage detour is invisible to
+    the stream."""
+    from medallion_etl_spark.streaming.stream_replay import stream_replay
+    from medallion_etl_spark.synth import write_events_shuffled
+
+    from .cdc_oracle import expected_final_state
+
+    df = gen_events(spark, n_events=3_000, n_keys=200)
+    events_dir = str(tmp_path / "stream")
+    write_events_shuffled(df.filter(F.col("lsn") < 2_000), events_dir, n_files=4)
+
+    src_root = str(tmp_path / "src")
+    LakeTable.create(src_root, n_buckets=8)
+    stage_root = str(tmp_path / "stage")
+    LakeTable.load(src_root).clone_to(stage_root)
+    ckpt = str(tmp_path / "ckpt")
+
+    t1 = stream_replay(spark, events_dir, stage_root, ckpt, max_files_per_trigger=2)
+    assert t1["epochs"] >= 1 and t1["rows_applied"] == 2_000
+
+    res = LakeTable.load(src_root).publish_from(stage_root)
+    assert res["published"]
+    # the staged epoch ids live in the source manifest now
+    assert any(b >= (1 << 40) for b in LakeTable.load(src_root).committed_batches())
+
+    # the stream grows; continuation points at the SOURCE, same checkpoint
+    df.filter(F.col("lsn") >= 2_000).coalesce(2).write.mode("append").parquet(
+        events_dir
+    )
+    t2 = stream_replay(spark, events_dir, src_root, ckpt, max_files_per_trigger=2)
+    assert t2["rows_applied"] == 1_000  # only the new files were read
+
+    assert_frames_equal(
+        LakeTable.load(src_root).read(spark).toPandas(),
+        expected_final_state(df.toPandas()),
+    )
