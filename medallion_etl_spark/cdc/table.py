@@ -1060,36 +1060,13 @@ class LakeTable:
         # row-group pruning on top of bucket pruning. Default sort is
         # the key (point lookups); zorder_by trades that for tight
         # stats on several non-key dimensions at once.
-        if zorder_by:
-            from .zorder import zvalue_col
-
-            # materialize the Z-value as a column and sort by the
-            # attribute: a raw expression in the sort order is re-eval'd
-            # interpreted during the sort (the quantile coding's
-            # array-fold measured ~20x the whole write that way), while
-            # a projected column is computed once per row
-            keep = keep.withColumn(
-                "_zsort", zvalue_col(keep, zorder_by, coding=zorder_coding)
-            )
-            sort_col = "_zsort"
-        else:
-            sort_col = self.key_col
-        rel_dir = self.new_data_dir()
-        out_dir = os.path.join(self.root, rel_dir)
-        sorted_keep = keep.repartition(
-            self.n_buckets, F.col("_bucket")
-        ).sortWithinPartitions("_bucket", sort_col)
-        if zorder_by:
-            sorted_keep = sorted_keep.drop("_zsort")
-        (
-            sorted_keep.write.mode("overwrite")
-            .options(**self.writer_options())
-            .partitionBy("_bucket")
-            .parquet(out_dir)
+        new_dirs, fstats = self._write_sorted_buckets(
+            keep,
+            n_partitions=self.n_buckets,
+            zorder_by=zorder_by,
+            zorder_coding=zorder_coding,
         )
-        new_dirs = map_bucket_dirs(self.root, rel_dir)
         removed = {int(b) for b in self.meta["buckets"]} - set(new_dirs)
-        fstats = bucket_footer_stats(self.root, new_dirs)
         self.commit(
             new_dirs,
             removed,
@@ -1110,6 +1087,49 @@ class LakeTable:
             },
         )
         return {"buckets": sorted(new_dirs), "buckets_dropped": sorted(removed)}
+
+    def _write_sorted_buckets(
+        self,
+        keep: DataFrame,
+        *,
+        n_partitions: int,
+        zorder_by: list[str] | None,
+        zorder_coding: str,
+    ) -> tuple[dict[int, str], dict]:
+        """The ONE bucket-rewrite tail both maintenance paths share
+        (``compact`` and ``fold_deltas``): sort within buckets — by key
+        or by Z-value — write one dir per bucket, and return (bucket ->
+        new dir, footer stats). Any change to the dir layout or the
+        footer-stat contract lands in both paths by construction."""
+        if zorder_by:
+            from .zorder import zvalue_col
+
+            # materialize the Z-value as a column and sort by the
+            # attribute: a raw expression in the sort order is re-eval'd
+            # interpreted during the sort (the quantile coding's
+            # array-fold measured ~20x the whole write that way), while
+            # a projected column is computed once per row
+            keep = keep.withColumn(
+                "_zsort", zvalue_col(keep, zorder_by, coding=zorder_coding)
+            )
+            sort_col = "_zsort"
+        else:
+            sort_col = self.key_col
+        rel_dir = self.new_data_dir()
+        out_dir = os.path.join(self.root, rel_dir)
+        sorted_keep = keep.repartition(
+            n_partitions, F.col("_bucket")
+        ).sortWithinPartitions("_bucket", sort_col)
+        if zorder_by:
+            sorted_keep = sorted_keep.drop("_zsort")
+        (
+            sorted_keep.write.mode("overwrite")
+            .options(**self.writer_options())
+            .partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+        new_dirs = map_bucket_dirs(self.root, rel_dir)
+        return new_dirs, bucket_footer_stats(self.root, new_dirs)
 
     def fold_deltas(
         self,
@@ -1134,10 +1154,13 @@ class LakeTable:
 
         Deliberately NOT ``compact()``: no tombstone purge (the
         compaction watermark is untouched, so change-feed retention is
-        unaffected), no clustering change, clean buckets' entries keep
-        their exact dir strings — a feed spanning the fold stays a
-        metadata bucket-diff and reads zero data (the new pointers
-        carry max_lsn footer stats at or below the old watermark)."""
+        unaffected) and no clustering CHANGE — the recorded clustering
+        is HONORED, so folding a z-ordered table re-sorts the rewritten
+        buckets by the same Z-spec the metadata claims. Clean buckets'
+        entries keep their exact dir strings — a feed spanning the fold
+        stays a metadata bucket-diff and reads zero data (the new
+        pointers carry max_lsn footer stats at or below the old
+        watermark)."""
         chosen = sorted(
             int(b)
             for b, e in self.meta["buckets"].items()
@@ -1150,21 +1173,25 @@ class LakeTable:
         keep = folded.withColumn(
             "_bucket", bucket_expr(self.key_col, self.n_buckets)
         )
-        rel_dir = self.new_data_dir()
-        out_dir = os.path.join(self.root, rel_dir)
-        (
-            keep.repartition(len(chosen), F.col("_bucket"))
-            .sortWithinPartitions("_bucket", self.key_col)
-            .write.mode("overwrite")
-            .options(**self.writer_options())
-            .partitionBy("_bucket")
-            .parquet(out_dir)
+        # honor the table's recorded clustering: folding a z-ordered
+        # bucket must re-sort it by the SAME Z-value, or the rewritten
+        # buckets silently lose the row-group pruning the metadata
+        # still claims
+        clustering = self.meta.get("clustering") or {}
+        zorder_by = (
+            list(clustering.get("cols", []))
+            if clustering.get("kind") == "zorder"
+            else None
         )
-        new_dirs = map_bucket_dirs(self.root, rel_dir)
+        new_dirs, fstats = self._write_sorted_buckets(
+            keep,
+            n_partitions=len(chosen),
+            zorder_by=zorder_by,
+            zorder_coding=clustering.get("coding", "linear"),
+        )
         # a chosen bucket folding to zero rows (possible only if every
         # source file was empty) simply loses its entry
         removed = set(chosen) - set(new_dirs)
-        fstats = bucket_footer_stats(self.root, new_dirs)
         self.commit(
             new_dirs,
             removed,
@@ -1464,24 +1491,6 @@ class LakeTable:
 
         adopted = rewritten_buckets()
 
-        # idempotent re-publish: if a previous attempt COMMITTED but
-        # crashed before invalidating the stage, the head's data state
-        # is exactly this stage's adopted state — finish the
-        # invalidation instead of mis-reporting "source advanced"
-        if (
-            head.meta["buckets"] == adopted
-            and head.meta["committed_batches"] == stage.meta["committed_batches"]
-            and head.meta["schema_version"] == stage.meta["schema_version"]
-        ):
-            finish_invalidate(head.version)
-            return {
-                "published": True,
-                "already_published": True,
-                "version": head.version,
-                "staged_commits": stage.version,
-                "staged_batches": [],
-            }
-
         def data_state(meta: dict) -> tuple:
             # everything the publish would overwrite; NOT the clone
             # registry (clone_to itself commits a registration, so the
@@ -1496,7 +1505,38 @@ class LakeTable:
                 meta.get("clustering"),
                 meta.get("compaction_watermark_lsn", -1),
                 meta.get("constraints", {}),
+                meta.get("bloom_key_filter", False),
             )
+
+        # idempotent re-publish: if a previous attempt COMMITTED but
+        # crashed before invalidating the stage, the head's data state
+        # is exactly this stage's FULL adopted state — finish the
+        # invalidation instead of mis-reporting "source advanced". The
+        # comparison must cover every field the publish would write
+        # (constraints, clustering, watermark, bloom included): a
+        # 3-field subset once swallowed a metadata-only staged commit
+        # (e.g. add_constraint on the stage) as "already published",
+        # destroying the stage without committing anything.
+        adopted_state = (
+            adopted,
+            stage.meta["committed_batches"],
+            stage.meta["schema_version"],
+            stage.meta["schemas"],
+            stage.meta["n_buckets"],
+            stage.meta.get("clustering"),
+            stage.meta.get("compaction_watermark_lsn", -1),
+            stage.meta.get("constraints", {}),
+            stage.meta.get("bloom_key_filter", False),
+        )
+        if data_state(head.meta) == adopted_state:
+            finish_invalidate(head.version)
+            return {
+                "published": True,
+                "already_published": True,
+                "version": head.version,
+                "staged_commits": stage.version,
+                "staged_batches": [],
+            }
 
         fork_state = data_state(LakeTable.load_version(src_root, fork).meta)
 

@@ -385,3 +385,40 @@ def test_fold_deltas_targets_only_delta_buckets(spark, tmp_path, events_path, ev
     again = LakeTable.load(table.root).fold_deltas(spark)
     assert again == {"folded_buckets": [], "committed": False}
     assert LakeTable.load(table.root).version == head.version
+
+
+def test_fold_deltas_honors_zorder_clustering(spark, tmp_path, events_path):
+    """Folding a z-ordered table must re-sort the rewritten buckets by
+    the RECORDED Z-spec — otherwise the folded buckets silently lose
+    the row-group pruning the metadata still claims."""
+    from medallion_etl_spark.cdc.zorder import zvalue_col
+
+    table = LakeTable.create(str(tmp_path / "t"), n_buckets=8)
+    events = spark.read.parquet(events_path)
+    replay(spark, events, table, chunk_size=N_EVENTS)
+    table = LakeTable.load(table.root)
+    table.compact(spark, watermark_lsn=-1, zorder_by=["source"])
+    # stack deltas on a couple of buckets
+    tail = (
+        events.orderBy("lsn")
+        .limit(300)
+        .withColumn("lsn", F.col("lsn") + F.lit(N_EVENTS).cast("long"))
+    )
+    t = LakeTable.load(table.root)
+    apply_batch(
+        spark, t, tail, batch_id=77, lsn_lo=N_EVENTS, lsn_hi=N_EVENTS + 300,
+        write_mode="mor",
+    )
+    t = LakeTable.load(table.root)
+    folded = t.fold_deltas(spark)
+    assert folded["committed"] and folded["folded_buckets"]
+    head = LakeTable.load(table.root)
+    assert head.meta["clustering"]["kind"] == "zorder"  # unchanged claim
+    b = folded["folded_buckets"][0]
+    entry = head.meta["buckets"][str(b)]
+    bdf = spark.read.parquet(os.path.join(table.root, entry["dir"]))
+    vals = [
+        r[0]
+        for r in bdf.select(zvalue_col(bdf, ["source"], coding="linear")).collect()
+    ]
+    assert vals == sorted(vals), "folded bucket lost its Z-sort"

@@ -296,3 +296,22 @@ def test_streaming_stage_publish_then_seamless_continuation(spark, tmp_path):
         LakeTable.load(src_root).read(spark).toPandas(),
         expected_final_state(df.toPandas()),
     )
+
+
+def test_metadata_only_staged_commit_publishes(spark, tmp_path):
+    """A stage whose only commits are metadata (add_constraint) must
+    PUBLISH that metadata — regression: a partial data-state comparison
+    once swallowed this as already_published, destroying the stage
+    without committing anything."""
+    events = gen_events(spark, n_events=500, n_keys=40, with_evolution=False)
+    src_root = str(tmp_path / "src")
+    replay(spark, events, LakeTable.create(src_root, n_buckets=4), chunk_size=500)
+    stage_root = str(tmp_path / "stage")
+    LakeTable.load(src_root).clone_to(stage_root)
+    LakeTable.load(stage_root).add_constraint(spark, "tok_pos", "n_tok >= 0")
+
+    res = LakeTable.load(src_root).publish_from(stage_root)
+    assert res["published"] and not res.get("already_published")
+    head = LakeTable.load(src_root)
+    assert "tok_pos" in head.meta.get("constraints", {})
+    assert os.path.abspath(stage_root) not in head.meta.get("clones", [])
