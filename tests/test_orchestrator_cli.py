@@ -357,3 +357,84 @@ def test_refresh_agg_cursor_rerun_and_rebootstrap(spark, tmp_path, sf_tiny):
     )
     assert res3["bootstrapped"]
     assert got(aroot) == expected()
+
+
+def test_wap_publish_via_cli(spark, tmp_path, sf_tiny):
+    from medallion_etl_spark.cdc.table import LakeTable
+    from scripts.orchestrator import _table_root, cmd_clone, cmd_publish
+
+    cmd_bronze(spark, _args(tmp_path, sf_tiny))
+    root = _table_root(str(tmp_path))
+    stage = str(tmp_path / "stage")
+    cmd_clone(spark, _args(tmp_path, sf_tiny, dst=stage))
+    from medallion_etl_spark.cdc.dml import update_where
+
+    update_where(spark, LakeTable.load(stage), "source = 'click'", {"lang": "'wap'"})
+    res = cmd_publish(spark, _args(tmp_path, sf_tiny, stage=stage))
+    assert res["published"]
+    got = LakeTable.load(root).read(spark)
+    assert got.filter("source = 'click' AND lang = 'wap'").count() > 0
+    assert not LakeTable.exists(stage)
+
+
+def test_redrive_via_cli(spark, tmp_path, sf_tiny):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from medallion_etl_spark.cdc.replay import replay
+    from medallion_etl_spark.cdc.table import LakeTable
+    from medallion_etl_spark.sources.readers import load_table
+    from scripts.orchestrator import _table_root, cmd_redrive
+
+    # build a quarantined table from the driver events with bad ops
+    root = _table_root(str(tmp_path))
+    from medallion_etl_spark.operators.cdc_query import _as_change_stream
+
+    stream = _as_change_stream(load_table(spark, sf_tiny, "events"))
+    dirty = stream.withColumn(
+        "op", F.when(F.col("lsn") % 50 == 0, F.lit("X")).otherwise(F.col("op"))
+    )
+    table = LakeTable.create(root, n_buckets=4, schema_version=2)
+    res = replay(spark, dirty, table, chunk_size=500, on_malformed="quarantine")
+    assert res["rows_quarantined"] > 0
+    out = cmd_redrive(
+        spark,
+        _args(
+            tmp_path,
+            sf_tiny,
+            path=res["quarantine_path"],
+            set=["op='U'"],
+            on_still_bad="fail",
+        ),
+    )
+    assert out["committed"] and out["redriven"] == res["rows_quarantined"]
+    assert not os.path.exists(res["quarantine_path"])
+
+
+def test_fold_deltas_via_cli(spark, tmp_path, sf_tiny):
+    from pyspark.sql import functions as F
+
+    from medallion_etl_spark.cdc.apply import apply_batch
+    from medallion_etl_spark.cdc.table import LakeTable
+    from medallion_etl_spark.operators.cdc_query import _as_change_stream
+    from medallion_etl_spark.sources.readers import load_table
+    from scripts.orchestrator import _table_root, cmd_fold_deltas
+
+    cmd_bronze(spark, _args(tmp_path, sf_tiny))
+    root = _table_root(str(tmp_path))
+    t = LakeTable.load(root)
+    hwm = t.max_committed_lsn()
+    tail = (
+        _as_change_stream(load_table(spark, sf_tiny, "events"))
+        .limit(50)
+        .withColumn("lsn", F.col("lsn") + hwm + 1)
+    )
+    apply_batch(
+        spark, t, tail, batch_id=88, lsn_lo=hwm + 1, lsn_hi=hwm + 10_000,
+        write_mode="mor",
+    )
+    res = cmd_fold_deltas(spark, _args(tmp_path, sf_tiny, min_deltas="1"))
+    assert res["committed"] and res["folded_buckets"]
+    head = LakeTable.load(root)
+    assert not any(e.get("deltas") for e in head.meta["buckets"].values())
