@@ -46,8 +46,97 @@ from .table import (
     LakeTable,
     bucket_expr,
     bucket_footer_stats,
+    entry_signature,
     map_bucket_dirs,
 )
+
+
+def _rebase_safe(
+    base_meta: dict, head: LakeTable, touched: list[int], batch_id: int, mode: str
+) -> bool:
+    """Validation-based optimistic concurrency (the Delta/Iceberg
+    conflict-resolution analog): decide whether an ALREADY-WRITTEN
+    apply can re-issue its commit on a newer HEAD without recomputing
+    the merge job. The written data dirs stay valid iff nothing the
+    job READ (or the commit would overwrite) changed:
+
+    - table-level: bucket count, schema version, constraints, bloom
+      option and the restore marker must be untouched (any of them
+      changing can invalidate the written files or their validation);
+    - the batch id must not have landed concurrently (a twin replayer
+      won the race — the recompute path's pending-chunk filter is the
+      correct dedupe, not a second manifest entry over duplicate dirs);
+    - COW: every touched bucket's entry signature must be unchanged —
+      the merge consumed those buckets' contents, so a concurrent
+      write to ANY of them means the output is stale. Disjoint-bucket
+      writers pass and commit without recompute.
+    - MOR: no per-bucket check at all — a delta append is
+      self-contained chunk data and the read-side LWW fold is
+      order-independent, so appends COMMUTE with any concurrent change
+      to the same bucket (even a COW rewrite or compaction that
+      dropped the bucket's earlier deltas).
+    """
+    hm = head.meta
+    if str(batch_id) in hm.get("committed_batches", {}):
+        return False
+    if hm["n_buckets"] != base_meta["n_buckets"]:
+        return False
+    if hm["schema_version"] != base_meta["schema_version"]:
+        return False
+    if hm.get("constraints", {}) != base_meta.get("constraints", {}):
+        return False
+    if hm.get("bloom_key_filter", False) != base_meta.get("bloom_key_filter", False):
+        return False
+    if hm.get("last_restore_commit", 0) != base_meta.get("last_restore_commit", 0):
+        return False
+    if mode == "cow":
+        for b in touched:
+            ob = base_meta["buckets"].get(str(b))
+            nb = hm["buckets"].get(str(b))
+            if (entry_signature(ob) if ob else None) != (
+                entry_signature(nb) if nb else None
+            ):
+                return False
+    return True
+
+
+def _commit_validated(
+    table: LakeTable,
+    touched: list[int],
+    batch_id: int,
+    args: tuple,
+    kw: dict,
+    *,
+    mode: str,
+    attempts: int = 4,
+) -> bool:
+    """Commit, and on a fork/rewind conflict try to REBASE instead of
+    letting the caller recompute: reload HEAD, run ``_rebase_safe``,
+    and re-issue the identical commit on the fresh handle. Returns
+    whether a rebase happened. An unsafe conflict re-raises, falling
+    back to the shared recompute retry (cdc/table.py
+    ``retry_on_fork_rewind``) — rebase is an optimization layered
+    UNDER that policy, never a replacement for it."""
+    base_meta = table.meta
+    t = table
+    for attempt in range(attempts):
+        try:
+            t.commit(*args, **kw)
+            if t is not table:
+                # keep the CALLER's handle current (commit updates the
+                # committing handle in place; on a rebase that was the
+                # fresh head, not the handle the caller holds and may
+                # report version/meta from)
+                table.meta = t.meta
+            return attempt > 0
+        except RuntimeError as exc:
+            if "fork/rewind" not in str(exc) or attempt == attempts - 1:
+                raise
+            head = LakeTable.load(table.root)
+            if not _rebase_safe(base_meta, head, touched, batch_id, mode):
+                raise
+            t = head
+    raise AssertionError("unreachable")
 
 
 def _dir_bytes(path: str) -> int:
@@ -373,13 +462,21 @@ def apply_batch(
     # dropped from metadata
     new_dirs, rows_applied, fstats, lineage_rows = _record_write(table, rel_dir, stats, batch_id, mark)
     removed = set(changed) - set(new_dirs)
-    table.commit(
-        new_dirs,
-        removed,
-        (batch_id, {"lsn_lo": lsn_lo, "lsn_hi": lsn_hi, "rows_applied": rows_applied}),
-        schema_version=target_sv if target_sv != table.schema_version else None,
-        bucket_row_counts={b: s[0] for b, s in fstats.items()},
-        bucket_max_lsns={b: s[1] for b, s in fstats.items()},
+    rebased = _commit_validated(
+        table,
+        changed,
+        batch_id,
+        (
+            new_dirs,
+            removed,
+            (batch_id, {"lsn_lo": lsn_lo, "lsn_hi": lsn_hi, "rows_applied": rows_applied}),
+        ),
+        dict(
+            schema_version=target_sv if target_sv != table.schema_version else None,
+            bucket_row_counts={b: s[0] for b, s in fstats.items()},
+            bucket_max_lsns={b: s[1] for b, s in fstats.items()},
+        ),
+        mode="cow",
     )
     mark("commit")
     write_lineage(spark, table.root, batch_id, lineage_rows)
@@ -388,6 +485,7 @@ def apply_batch(
         "batch_id": batch_id,
         "rows_applied": rows_applied,
         "buckets": changed,
+        "commit_rebased": rebased,
         "timings": timings,
     }
 
@@ -439,20 +537,28 @@ def _apply_mor(
     mark("merge_write")
 
     new_dirs, rows_applied, fstats, lineage_rows = _record_write(table, rel_dir, stats, batch_id, mark)
-    table.commit(
-        {},
-        set(),
-        (batch_id, {"lsn_lo": lsn_lo, "lsn_hi": lsn_hi, "rows_applied": rows_applied}),
-        schema_version=target_sv if target_sv != table.schema_version else None,
-        delta_appends={
-            b: {
-                "dir": rel,
-                "schema_version": target_sv,
-                "rows": fstats[b][0],
-                "max_lsn": fstats[b][1],
-            }
-            for b, rel in new_dirs.items()
-        },
+    rebased = _commit_validated(
+        table,
+        changed,
+        batch_id,
+        (
+            {},
+            set(),
+            (batch_id, {"lsn_lo": lsn_lo, "lsn_hi": lsn_hi, "rows_applied": rows_applied}),
+        ),
+        dict(
+            schema_version=target_sv if target_sv != table.schema_version else None,
+            delta_appends={
+                b: {
+                    "dir": rel,
+                    "schema_version": target_sv,
+                    "rows": fstats[b][0],
+                    "max_lsn": fstats[b][1],
+                }
+                for b, rel in new_dirs.items()
+            },
+        ),
+        mode="mor",
     )
     mark("commit")
     write_lineage(spark, table.root, batch_id, lineage_rows)
@@ -462,5 +568,6 @@ def _apply_mor(
         "rows_applied": rows_applied,
         "buckets": changed,
         "write_mode": "mor",
+        "commit_rebased": rebased,
         "timings": timings,
     }

@@ -251,3 +251,90 @@ def test_racing_rebucket_against_live_replay_converges(spark, tmp_path):
     got = sorted(tuple(r) for r in final.read(spark).collect())
     want = sorted(tuple(r) for r in LakeTable.load(clean_root).read(spark).collect())
     assert got == want
+
+
+def test_disjoint_cow_conflict_rebases_without_recompute(spark, tmp_path):
+    """Validation-based OCC (apply.py _commit_validated): a COW apply
+    whose commit loses the race to a writer that touched DISJOINT
+    buckets re-issues its commit on the fresh head — the written dirs
+    are still valid — instead of recomputing the merge."""
+    from pyspark.sql import functions as F
+
+    from medallion_etl_spark.cdc.apply import apply_batch
+    from medallion_etl_spark.cdc.table import bucket_expr
+    from medallion_etl_spark.synth import gen_events
+
+    from .cdc_oracle import assert_frames_equal, expected_final_state
+
+    root = str(tmp_path / "t")
+    LakeTable.create(root, n_buckets=8)
+    ev = gen_events(spark, n_events=2_000, n_keys=300, with_evolution=False)
+    left = ev.filter(bucket_expr("doc_id", 8) < 4).filter("lsn < 1000")
+    right = ev.filter(bucket_expr("doc_id", 8) >= 4).filter("lsn >= 1000")
+
+    stale = LakeTable.load(root)  # version 0 handle
+    apply_batch(spark, LakeTable.load(root), right, batch_id=2, lsn_lo=1_000, lsn_hi=1_999)
+    res = apply_batch(spark, stale, left, batch_id=1, lsn_lo=0, lsn_hi=999)
+    assert res["commit_rebased"] is True
+
+    final = LakeTable.load(root)
+    assert final.is_committed(1) and final.is_committed(2)
+    both = left.unionByName(right).toPandas()
+    got = final.read(spark).toPandas()
+    exp = expected_final_state(both)
+    assert_frames_equal(got, exp[[c for c in exp.columns if c in got.columns]])
+
+
+def test_overlapping_cow_conflict_still_recomputes(spark, tmp_path):
+    """A concurrent write to one of OUR buckets invalidates the merge
+    output (it consumed that bucket's old contents) — the rebase must
+    refuse and surface the fork/rewind error for the recompute retry."""
+    import pytest as _pytest
+
+    from medallion_etl_spark.cdc.apply import apply_batch
+    from medallion_etl_spark.cdc.table import bucket_expr
+    from medallion_etl_spark.synth import gen_events
+
+    root = str(tmp_path / "t")
+    LakeTable.create(root, n_buckets=8)
+    ev = gen_events(spark, n_events=2_000, n_keys=300, with_evolution=False)
+    first = ev.filter(bucket_expr("doc_id", 8) < 4).filter("lsn < 1000")
+    second = ev.filter(bucket_expr("doc_id", 8) < 4).filter("lsn >= 1000")
+
+    stale = LakeTable.load(root)
+    apply_batch(spark, LakeTable.load(root), first, batch_id=2, lsn_lo=0, lsn_hi=999)
+    with _pytest.raises(RuntimeError, match="fork/rewind"):
+        apply_batch(spark, stale, second, batch_id=1, lsn_lo=1_000, lsn_hi=1_999)
+
+
+def test_mor_append_rebases_even_on_the_same_bucket(spark, tmp_path):
+    """Delta appends are self-contained chunk data and the read fold is
+    order-independent, so a MOR commit rebases across ANY concurrent
+    change — including a COW rewrite of the very buckets it appends
+    to — and the folded state still equals the LWW oracle."""
+    from medallion_etl_spark.cdc.apply import apply_batch
+    from medallion_etl_spark.synth import gen_events
+
+    from .cdc_oracle import assert_frames_equal, expected_final_state
+
+    root = str(tmp_path / "t")
+    LakeTable.create(root, n_buckets=8)
+    ev = gen_events(spark, n_events=3_000, n_keys=200, with_evolution=False)
+    base = ev.filter("lsn < 1000")
+    mid = ev.filter("lsn >= 1000 AND lsn < 2000")
+    tail = ev.filter("lsn >= 2000")
+    apply_batch(spark, LakeTable.load(root), base, batch_id=0, lsn_lo=0, lsn_hi=999)
+
+    stale = LakeTable.load(root)  # version 1 handle
+    # a COW writer rewrites (potentially all) buckets concurrently...
+    apply_batch(spark, LakeTable.load(root), mid, batch_id=1, lsn_lo=1_000, lsn_hi=1_999)
+    # ...the MOR append on the stale handle must rebase, not recompute
+    res = apply_batch(
+        spark, stale, tail, batch_id=2, lsn_lo=2_000, lsn_hi=2_999, write_mode="mor"
+    )
+    assert res["write_mode"] == "mor" and res["commit_rebased"] is True
+
+    final = LakeTable.load(root)
+    got = final.read(spark).toPandas()
+    exp = expected_final_state(ev.toPandas())
+    assert_frames_equal(got, exp[[c for c in exp.columns if c in got.columns]])
