@@ -108,15 +108,31 @@ def _commit_validated(
     kw: dict,
     *,
     mode: str,
+    allow_rebase: bool,
     attempts: int = 4,
 ) -> bool:
-    """Commit, and on a fork/rewind conflict try to REBASE instead of
-    letting the caller recompute: reload HEAD, run ``_rebase_safe``,
-    and re-issue the identical commit on the fresh handle. Returns
-    whether a rebase happened. An unsafe conflict re-raises, falling
-    back to the shared recompute retry (cdc/table.py
-    ``retry_on_fork_rewind``) — rebase is an optimization layered
-    UNDER that policy, never a replacement for it."""
+    """Commit, and — when the caller declared its chunk REBASE-SAFE —
+    on a fork/rewind conflict try to rebase instead of letting the
+    caller recompute: reload HEAD, run ``_rebase_safe``, and re-issue
+    the identical commit on the fresh handle. Returns whether a rebase
+    happened. An unsafe conflict re-raises, falling back to the shared
+    recompute retry (cdc/table.py ``retry_on_fork_rewind``) — rebase
+    is an optimization layered UNDER that policy, never a replacement.
+
+    ``allow_rebase`` is OPT-IN and only correct for chunks whose
+    CONTENT is independent of table state — stream slices carrying
+    upstream LSNs (batch replay chunks, streaming epochs). Chunks
+    DERIVED from a snapshot must recompute on any conflict: predicate
+    DML and redrive mint their LSN at the stale HWM+1 (a rebased
+    tombstone would silently LOSE to a concurrently-landed higher-LSN
+    event while reporting success) and DML's read set is the whole
+    table, not its touched buckets (a concurrent disjoint-bucket
+    insert matching the predicate would be a phantom the rebase
+    ignores); MERGE INTO's classification has the same phantom
+    problem. Default False."""
+    if not allow_rebase:
+        table.commit(*args, **kw)
+        return False
     base_meta = table.meta
     t = table
     for attempt in range(attempts):
@@ -195,6 +211,7 @@ def apply_batch(
     write_mode: str = "cow",
     mor_max_deltas: int = 8,
     skip_empty_commit: bool = False,
+    allow_rebase: bool = False,
 ) -> dict:
     """Apply one LSN-chunk of change events. Idempotent: an already
     committed batch_id is a no-op; a crash before commit leaves the
@@ -370,6 +387,7 @@ def apply_batch(
             spark, table, chunk_rows, stats, batch_id, lsn_lo, lsn_hi,
             target_sv=target_sv, dedup_strategy=dedup_strategy,
             n_salts=n_salts, timings=timings, mark=mark,
+            allow_rebase=allow_rebase,
         )
     if mode != "cow":
         raise ValueError(f"unknown write_mode: {write_mode!r}")
@@ -477,6 +495,7 @@ def apply_batch(
             bucket_max_lsns={b: s[1] for b, s in fstats.items()},
         ),
         mode="cow",
+        allow_rebase=allow_rebase,
     )
     mark("commit")
     write_lineage(spark, table.root, batch_id, lineage_rows)
@@ -504,6 +523,7 @@ def _apply_mor(
     n_salts: int,
     timings: dict,
     mark,
+    allow_rebase: bool,
 ) -> dict:
     """Merge-on-read apply: LWW-dedup the chunk ALONE (one reduction
     over |chunk| rows — the base is never read) and append the result
@@ -559,6 +579,7 @@ def _apply_mor(
             },
         ),
         mode="mor",
+        allow_rebase=allow_rebase,
     )
     mark("commit")
     write_lineage(spark, table.root, batch_id, lineage_rows)

@@ -387,6 +387,11 @@ def replay(
                 mor_max_deltas=mor_max_deltas,
                 precomputed_stats=stats_by_chunk.get(batch_id, []),
                 precomputed_stats_n_buckets=stats_n_buckets,
+                # replay chunks are pure stream slices carrying
+                # upstream LSNs — content independent of table state,
+                # so a disjoint-writer conflict may rebase the commit
+                # instead of recomputing the merge (apply.py)
+                allow_rebase=True,
             ),
             _reload_after_conflict,
         )

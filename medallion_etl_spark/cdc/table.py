@@ -1183,6 +1183,12 @@ class LakeTable:
             if clustering.get("kind") == "zorder"
             else None
         )
+        # same live-column guard as rebucket: a recorded spec naming a
+        # since-dropped column degrades to key sort instead of crashing
+        if zorder_by and not set(zorder_by) <= {
+            f.name for f in self.schema().fields
+        }:
+            zorder_by = None
         new_dirs, fstats = self._write_sorted_buckets(
             keep,
             n_partitions=len(chosen),
@@ -1248,37 +1254,14 @@ class LakeTable:
             # rebucket usable; the next compact re-establishes layout
             clustering = {"kind": "key", "cols": [self.key_col]}
         is_zorder = clustering.get("kind") == "zorder"
-        if is_zorder:
-            from .zorder import zvalue_col
-
-            # same materialize-then-sort shape as compact(): never put
-            # the Z expression itself in the sort order
-            keep = keep.withColumn(
-                "_zsort",
-                zvalue_col(
-                    keep, clustering["cols"], coding=clustering.get("coding", "linear")
-                ),
-            )
-            sort_col = "_zsort"
-        else:
-            sort_col = self.key_col
-        rel_dir = self.new_data_dir()
-        out_dir = os.path.join(self.root, rel_dir)
-        sorted_keep = keep.repartition(
-            new_n_buckets, F.col("_bucket")
-        ).sortWithinPartitions("_bucket", sort_col)
-        if is_zorder:
-            sorted_keep = sorted_keep.drop("_zsort")
-        (
-            sorted_keep.write.mode("overwrite")
-            .options(**self.writer_options())
-            .partitionBy("_bucket")
-            .parquet(out_dir)
+        new_dirs, fstats = self._write_sorted_buckets(
+            keep,
+            n_partitions=new_n_buckets,
+            zorder_by=list(clustering["cols"]) if is_zorder else None,
+            zorder_coding=clustering.get("coding", "linear"),
         )
-        new_dirs = map_bucket_dirs(self.root, rel_dir)
         removed = {int(b) for b in self.meta["buckets"]} - set(new_dirs)
         old_n = self.n_buckets
-        fstats = bucket_footer_stats(self.root, new_dirs)
         self.commit(
             new_dirs,
             removed,

@@ -202,6 +202,9 @@ def stream_replay(
                 merge_path=merge_path,
                 write_mode=write_mode,
                 mor_max_deltas=mor_max_deltas,
+                # epochs are pure stream slices (upstream LSNs):
+                # rebase-safe, see apply.py _commit_validated
+                allow_rebase=True,
             ),
             _reload,
         )

@@ -274,7 +274,9 @@ def test_disjoint_cow_conflict_rebases_without_recompute(spark, tmp_path):
 
     stale = LakeTable.load(root)  # version 0 handle
     apply_batch(spark, LakeTable.load(root), right, batch_id=2, lsn_lo=1_000, lsn_hi=1_999)
-    res = apply_batch(spark, stale, left, batch_id=1, lsn_lo=0, lsn_hi=999)
+    res = apply_batch(
+        spark, stale, left, batch_id=1, lsn_lo=0, lsn_hi=999, allow_rebase=True
+    )
     assert res["commit_rebased"] is True
 
     final = LakeTable.load(root)
@@ -304,7 +306,10 @@ def test_overlapping_cow_conflict_still_recomputes(spark, tmp_path):
     stale = LakeTable.load(root)
     apply_batch(spark, LakeTable.load(root), first, batch_id=2, lsn_lo=0, lsn_hi=999)
     with _pytest.raises(RuntimeError, match="fork/rewind"):
-        apply_batch(spark, stale, second, batch_id=1, lsn_lo=1_000, lsn_hi=1_999)
+        apply_batch(
+            spark, stale, second, batch_id=1, lsn_lo=1_000, lsn_hi=1_999,
+            allow_rebase=True,
+        )
 
 
 def test_mor_append_rebases_even_on_the_same_bucket(spark, tmp_path):
@@ -330,7 +335,8 @@ def test_mor_append_rebases_even_on_the_same_bucket(spark, tmp_path):
     apply_batch(spark, LakeTable.load(root), mid, batch_id=1, lsn_lo=1_000, lsn_hi=1_999)
     # ...the MOR append on the stale handle must rebase, not recompute
     res = apply_batch(
-        spark, stale, tail, batch_id=2, lsn_lo=2_000, lsn_hi=2_999, write_mode="mor"
+        spark, stale, tail, batch_id=2, lsn_lo=2_000, lsn_hi=2_999,
+        write_mode="mor", allow_rebase=True,
     )
     assert res["write_mode"] == "mor" and res["commit_rebased"] is True
 
@@ -338,3 +344,28 @@ def test_mor_append_rebases_even_on_the_same_bucket(spark, tmp_path):
     got = final.read(spark).toPandas()
     exp = expected_final_state(ev.toPandas())
     assert_frames_equal(got, exp[[c for c in exp.columns if c in got.columns]])
+
+
+def test_rebase_is_opt_in(spark, tmp_path):
+    """The rebase is only correct for chunks whose content is
+    independent of table state, so callers must OPT IN (replay and
+    streaming epochs do). The default path — what DML, redrive and
+    MERGE INTO use, since their chunks are derived from a snapshot —
+    must keep raising fork/rewind for the recompute retry even on a
+    perfectly disjoint conflict."""
+    import pytest as _pytest
+
+    from medallion_etl_spark.cdc.apply import apply_batch
+    from medallion_etl_spark.cdc.table import bucket_expr
+    from medallion_etl_spark.synth import gen_events
+
+    root = str(tmp_path / "t")
+    LakeTable.create(root, n_buckets=8)
+    ev = gen_events(spark, n_events=1_000, n_keys=200, with_evolution=False)
+    left = ev.filter(bucket_expr("doc_id", 8) < 4).filter("lsn < 500")
+    right = ev.filter(bucket_expr("doc_id", 8) >= 4).filter("lsn >= 500")
+
+    stale = LakeTable.load(root)
+    apply_batch(spark, LakeTable.load(root), right, batch_id=2, lsn_lo=500, lsn_hi=999)
+    with _pytest.raises(RuntimeError, match="fork/rewind"):
+        apply_batch(spark, stale, left, batch_id=1, lsn_lo=0, lsn_hi=499)
