@@ -78,15 +78,21 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
 # The round driver gates only the FIRST 50 ``queries()`` entries in
 # insertion order (confirmed against CORRECTNESS_r03.json — exactly
 # list(queries())[:50]). This list pins the window deliberately instead
-# of leaving it to module-update order: operators that have never had a
-# driver-green row come first, then this round's changed/new queries,
-# then the CDC flagship family, then a rotation of the §2 stable set.
-# Entries past the window all have ≥3 green driver rows from rounds
-# 1-3 (see CORRECTNESS_r0{1,2,3}.json). Keep len == 50 and update the
+# of leaving it to module-update order. Round-5 rotation policy
+# (VERDICT r4 task 1): every r4-first-green entry KEEPS its slot for a
+# second green row; the five r2-single-green queries and the four
+# r3-single-green queries rotate back IN; the two new r5
+# bounded-state-percentile gates take slots; eleven entries with ≥3
+# green rows (CDC flagships cdc_replay_mor/dml/constrained/merge_into/
+# convert/restore [2,3,4], incremental_gold_by_source [2,3,4],
+# cobertura_sucursal_marca [2,3,4], coverage_two_level [1,2,3,4],
+# vocab_top_words [3,4], training_mix_sample [3,4]) rotate OUT — their
+# evidence base is the deepest in the repo. After r5 every queries()
+# entry will have ≥2 green rows. Keep len == 50 and update the
 # rotation each round; tests/test_driver_contract_window.py pins the
 # invariants.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # never driver-checked before round 4 (VERDICT r3 task 1)
+    # r4-first-green — kept for a second green row
     "near_dup_clusters",
     "cdc_incremental_signatures",
     "curated_training_mix",
@@ -99,94 +105,56 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "user_sessions",
     "scd2_user_type",
     "packed_sequences",
-    # r2-green only — rotate back in for a second green row
-    # (simhash_clusters / embedding_near_dup_pairs / ann_topk_bruteforce
-    # / ann_lsh_topk / embedding_centroid_distance rotated OUT late-r4:
-    # green r2 + sf0.01 verify this round; their slots go to
-    # never-checked temperature_mix_weights and the new
-    # dup_span_removal / packed_batch_payloads / shuffled_shards /
-    # ivm_source_stats)
-    "multimodal_meta",
-    # red in r03 (driver canonicalizer); compared column now a string
-    "tokenize_documents",
-    # new r4 composition flagships (table format x training-data ops)
+    "multimodal_meta",  # green r2+r4 — third row closes its gap-year
+    "tokenize_documents",  # red r3 (canonicalizer), green r4
     "sig_rebootstrap_after_restore",
     "curated_mix_over_mor_corpus",
-    # CDC flagship family — the tier's core, stays visible every round
+    # CDC flagship visibility: the two family anchors stay (greens
+    # [1,2,3,4] and [2,3,4]); the other six flagships rotate out with
+    # three green rows each
     "cdc_replay_latest_state",
-    "cdc_replay_mor_state",
     "cdc_change_feed",
-    "cdc_dml_state",
-    "cdc_constrained_replay",
-    "cdc_merge_into_state",
-    "cdc_convert_documents",
-    "cdc_restore_reconverge",
-    # new in the r4 continuation: write-audit-publish fast-forward
-    # (takes cobertura_sucursal_aguas' slot — green r3, and its family
-    # keeps four other entries in the window)
     "cdc_wap_publish_state",
-    # new in the r4 continuation: quarantine→redrive→reconverge (takes
-    # cobertura_sucursal_generico's slot — green r3; the family keeps
-    # three entries in the window)
     "cdc_redrive_reconverge",
     "cdc_schema_evolution_state",
-    "incremental_gold_by_source",
-    # touched this round (md5_bucket widened / broadcast hygiene)
-    "coverage_two_level",
     "doc_repetition_stats",
-    "vocab_top_words",
-    "training_mix_sample",
-    # r3-first-green set — second green row
-    # new in the r4 continuation: per-source token drift (takes
-    # cobertura_vendedor_marca's slot — green r3; two family entries
-    # remain in the window)
     "source_token_drift",
-    "cobertura_sucursal_marca",
     "cobertura_vendedor_generico",
-    # new in the r4 continuation: token-id n-gram decontamination
-    # (takes doc_length_percentiles' slot — green r3; the exact/KLL
-    # percentile path stays pinned by tests/test_percentiles.py)
     "token_ngram_decontaminate",
-    # new in the r4 continuation: leak-free hash split (takes
-    # decontaminate_against_benchmark's slot — green r3, and its
-    # token-level sibling sits three entries up)
     "train_val_test_split",
-    # new in r4: exact-substring (K-word window) duplication stats —
-    # takes the slot of exact_dedup_docs (green r1/r2/r3)
     "dup_span_stats",
-    # new in r4 (late): PII scrub + SemDeDup semantic pruning + the
-    # documents×embeddings composition — take the slots of
-    # hectolitros_measure / doc_fingerprint / doc_token_stats (all ≥2
-    # green rounds)
     "pii_scrub_stats",
     "semdedup_prune",
     "semantic_curated_mix",
-    # new in r4 (final): sliding-window chunking — takes the slot of
-    # lang_id_ngram (green r1/r2/r3)
     "doc_chunk_inventory",
-    # new in r4 (continuation): CCNet-style unigram-LM perplexity
-    # bucketing — takes the slot of doc_quality_scores (green r1/r2/r3)
     "lm_perplexity_filter",
-    # new in r4 (continuation): token-budget corpus selection — takes
-    # the slot of ngram_jaccard_topk (green r1/r2/r3)
     "token_budget_selection",
-    # new in r4 (continuation): stratified per-source sampling — takes
-    # the slot of minhash_near_dup_pairs (green r1/r2/r3).
     "stratified_sample_k",
-    # new in r4 (continuation): temperature-scaled mix weights — takes
-    # simhash_clusters' slot (green r2; a never-checked op beats a
-    # second green row for an r2-green one).
     "temperature_mix_weights",
-    # new in r4 (continuation): exact-substring duplicate-span removal
-    # — takes embedding_near_dup_pairs' slot (green r2).
     "dup_span_removal",
-    # new in r4 (continuation): packed-batch payload materialization —
-    # takes ann_topk_bruteforce's slot (green r2).
     "packed_batch_payloads",
-    # new in r4 (continuation): deterministic shuffle + shard cutting —
-    # takes ann_lsh_topk's slot (green r2).
     "shuffled_shards",
-    # new in r4 (continuation): algebraic incremental-aggregate
-    # maintenance — takes embedding_centroid_distance's slot (green r2).
     "ivm_source_stats",
+    # r2-single-green set, back in for a second green row (VERDICT r4
+    # task 1 — rotated out late-r4 before re-check; take the slots of
+    # cdc_replay_mor_state / cdc_dml_state / cdc_constrained_replay /
+    # cdc_merge_into_state / cdc_convert_documents, each green [2,3,4])
+    "simhash_clusters",
+    "embedding_near_dup_pairs",
+    "ann_topk_bruteforce",
+    "ann_lsh_topk",
+    "embedding_centroid_distance",
+    # r3-single-green set, back in for a second green row (take the
+    # slots of cdc_restore_reconverge / incremental_gold_by_source /
+    # cobertura_sucursal_marca [each 2,3,4] and vocab_top_words [3,4])
+    "cobertura_sucursal_aguas",
+    "cobertura_sucursal_generico",
+    "decontaminate_against_benchmark",
+    "doc_length_percentiles",
+    # new in r5: tolerance-banded oracles for the bounded-state
+    # (approx_percentile) formulations — VERDICT r4 task 3 (take the
+    # slots of coverage_two_level [1,2,3,4] and training_mix_sample
+    # [3,4])
+    "doc_length_percentiles_approx",
+    "lm_cutoffs_approx",
 )

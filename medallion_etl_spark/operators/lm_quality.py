@@ -62,7 +62,11 @@ LM_SOURCE_MOD = 4
 T1_FRAC, T2_FRAC = 0.333333, 0.666667
 
 
-def lm_perplexity_filter(spark: SparkSession, sf: str) -> DataFrame:
+def _per_doc_cross_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, source, n_words, known_frac, cross_entropy) — the shared
+    LM-build + scoring pipeline behind both the tertile filter and the
+    approx-cutoff gate; persisted (per-invocation slot) because every
+    consumer aggregates it at least twice."""
     docs = spread(spark, T(spark, sf, "documents"))
     word = F.explode(F.split(F.lower("text"), " ")).alias("word")
     words = docs.select("doc_id", "source", word).filter(F.length("word") > 0)
@@ -103,7 +107,11 @@ def lm_perplexity_filter(spark: SparkSession, sf: str) -> DataFrame:
         F.round(davg("nlp"), 6).alias("cross_entropy"),
     )
     # reused by the cutoff aggregate and the final bucketing
-    per_doc = persist_replacing("lm_perdoc", sf, per_doc)
+    return persist_replacing("lm_perdoc", sf, per_doc)
+
+
+def lm_perplexity_filter(spark: SparkSession, sf: str) -> DataFrame:
+    per_doc = _per_doc_cross_entropy(spark, sf)
 
     cuts = per_doc.agg(
         F.round(F.percentile("cross_entropy", F.lit(T1_FRAC)), 6).alias("t1"),
@@ -128,7 +136,11 @@ def lm_perplexity_filter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-LM_PERPLEXITY_FILTER_SQL = f"""
+# The WITH-chain through per_doc, shared by the tertile filter's
+# oracle and the approx-cutoff gate's oracle (must stay bit-identical
+# between them — the approx gate's exact columns are only comparable
+# because the pipeline is the same text).
+_LM_PER_DOC_CTE = f"""
 WITH words AS (
   SELECT doc_id, source, word
   FROM (SELECT doc_id, source,
@@ -160,7 +172,11 @@ WITH words AS (
            AS cross_entropy
   FROM scored
   GROUP BY doc_id, source
-), cuts AS (
+)
+"""
+
+LM_PERPLEXITY_FILTER_SQL = f"""{_LM_PER_DOC_CTE},
+cuts AS (
   SELECT round(quantile_cont(cross_entropy, {T1_FRAC}), 6) AS t1,
          round(quantile_cont(cross_entropy, {T2_FRAC}), 6) AS t2
   FROM per_doc
@@ -173,6 +189,88 @@ FROM per_doc CROSS JOIN cuts
 ORDER BY doc_id
 """
 
+
+# --------------------------------------------------------------------------
+# The bounded-state cutoff path, driver-gated (VERDICT r4 task 3): the
+# exact global `percentile` above is the module's one global sort; the
+# 100-TB formulation swaps it for `approx_percentile` (mergeable KLL
+# sketch, O(1) state). Same tolerance-banded-oracle scheme as
+# textops.doc_length_percentiles_approx: Spark emits booleans checking
+# the sketch cutoffs against exact interpolated percentiles at
+# (frac ± CUT_BAND); DuckDB emits literal TRUE — the driver value-hash
+# passes iff the sketch met the band. `head_frac_ok` additionally
+# pins the END-TO-END property the cutoffs exist for: bucketing by the
+# approx t1 yields a head fraction ≥ T1_FRAC − CUT_BAND (the sketch's
+# rank guarantee transfers: the returned cutoff is an element whose
+# rank is ≥ (T1−ε)N, and F(v) ≥ rank(v)/N regardless of ties; the
+# symmetric upper bound does NOT survive ties, so it's deliberately
+# not asserted).
+
+CUT_ACC = 10_000
+CUT_BAND = 0.02
+
+
+def lm_cutoffs_approx(spark: SparkSession, sf: str) -> DataFrame:
+    per_doc = _per_doc_cross_entropy(spark, sf)
+    fracs = [T1_FRAC, T2_FRAC]
+    ap = F.percentile_approx(
+        F.col("cross_entropy"), F.array(*[F.lit(f) for f in fracs]), F.lit(CUT_ACC)
+    )
+    lo = F.percentile(
+        F.col("cross_entropy"),
+        F.array(*[F.lit(round(f - CUT_BAND, 6)) for f in fracs]),
+    )
+    hi = F.percentile(
+        F.col("cross_entropy"),
+        F.array(*[F.lit(round(f + CUT_BAND, 6)) for f in fracs]),
+    )
+    row = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("cross_entropy", F.lit(T1_FRAC)), 6).alias("t1_exact"),
+        F.round(F.percentile("cross_entropy", F.lit(T2_FRAC)), 6).alias("t2_exact"),
+        ap.alias("_ap"),
+        lo.alias("_lo"),
+        hi.alias("_hi"),
+    )
+    head = (
+        per_doc.crossJoin(F.broadcast(row.select(F.col("_ap")[0].alias("_t1a"))))
+        .agg(
+            F.round(
+                F.sum((F.col("cross_entropy") <= F.col("_t1a")).cast("int"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("head_frac")
+        )
+    )
+
+    def in_band(i: int):
+        return (F.col("_ap")[i] >= F.col("_lo")[i]) & (
+            F.col("_ap")[i] <= F.col("_hi")[i]
+        )
+
+    return row.crossJoin(F.broadcast(head)).select(
+        "n_docs",
+        "t1_exact",
+        "t2_exact",
+        in_band(0).alias("t1_in_band"),
+        in_band(1).alias("t2_in_band"),
+        (F.col("head_frac") >= F.lit(round(T1_FRAC - CUT_BAND, 6))).alias(
+            "head_frac_ok"
+        ),
+    )
+
+
+LM_CUTOFFS_APPROX_SQL = f"""{_LM_PER_DOC_CTE}
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(cross_entropy, {T1_FRAC}), 6) AS t1_exact,
+       round(quantile_cont(cross_entropy, {T2_FRAC}), 6) AS t2_exact,
+       TRUE AS t1_in_band,
+       TRUE AS t2_in_band,
+       TRUE AS head_frac_ok
+FROM per_doc
+"""
+
 QUERIES = {
     "lm_perplexity_filter": (lm_perplexity_filter, LM_PERPLEXITY_FILTER_SQL),
+    "lm_cutoffs_approx": (lm_cutoffs_approx, LM_CUTOFFS_APPROX_SQL),
 }

@@ -183,9 +183,10 @@ ORDER BY doc_id
 # by the same decomposition as token_budget_selection:
 #
 # 1. shuffle key h = md5('shuffle|' || doc_id) (change the salt string
-#    to reshuffle); hash bucket = h's first 2 hex chars — 256
-#    ORDER-PRESERVING buckets (h starts with its bucket, so bucket-asc
-#    then (h, doc_id)-asc IS the global (h, doc_id) order);
+#    to reshuffle); hash bucket = h's first SHARD_PREFIX_CHARS hex
+#    chars — 16**k ORDER-PRESERVING buckets (h starts with its bucket,
+#    so bucket-asc then (h, doc_id)-asc IS the global (h, doc_id)
+#    order);
 # 2. within-bucket running token totals (hash exchange on hbucket,
 #    parallel); per-bucket totals roll up to a 256-row table whose
 #    running sum is the bucket's global offset — the only
@@ -205,18 +206,35 @@ SHARD_TOKENS = 4096
 _SHUFFLE_SALT = "shuffle|"
 
 
+# Width of the order-preserving hash-prefix, in hex chars: bucket
+# count = 16**prefix_chars (the power-of-16 grid is what makes the
+# prefix ORDER-PRESERVING over the md5 hex string — a non-power-of-16
+# bucket count would need a range partitioner instead). 2 (256
+# buckets) is right for the sandbox; at 100 TB widen to 4-5 (64k-1M
+# offset rows — still one tiny single-partition window). The
+# shard-assignment OUTPUT is invariant in this knob (pinned by
+# tests/test_selection.py at widths 1 and 3 against the naive
+# global-window oracle), so re-tuning it never reshuffles a corpus.
+SHARD_PREFIX_CHARS = 2
+
+
 def shuffle_shard_assign(
-    docs: DataFrame, shard_tokens: int = SHARD_TOKENS, slot: str = "shuffle_feats"
+    docs: DataFrame,
+    shard_tokens: int = SHARD_TOKENS,
+    slot: str = "shuffle_feats",
+    prefix_chars: int = SHARD_PREFIX_CHARS,
 ) -> DataFrame:
     """(doc_id, text, source?) -> per-doc (doc_id, n_tok, h,
     global_before, shard). Deterministic in doc_id alone."""
+    if not 1 <= prefix_chars <= 8:
+        raise ValueError(f"prefix_chars must be in [1, 8], got {prefix_chars}")
     h = F.md5(
         F.encode(F.concat(F.lit(_SHUFFLE_SALT), F.col("doc_id").cast("string")), "UTF-8")
     )
     n_tok = F.size(F.split(F.lower("text"), " "))
     feats = docs.select(
         "doc_id", n_tok.alias("n_tok"), h.alias("h")
-    ).withColumn("hbucket", F.substring("h", 1, 2))
+    ).withColumn("hbucket", F.substring("h", 1, prefix_chars))
     within = (
         F.sum("n_tok").over(Window.partitionBy("hbucket").orderBy("h", "doc_id"))
         - F.col("n_tok")

@@ -29,6 +29,27 @@ NEVER_CHECKED_BEFORE_R4 = {
     "packed_sequences",
 }
 
+# Round-5 rotation targets (VERDICT r4 tasks 1 + 3): the queries whose
+# ONLY green driver row is two-plus rounds old (r2/r3 singles) must be
+# back in the window, and the new bounded-state percentile gates must
+# be driver-checked in their first round.
+R5_MUST_CHECK = {
+    # r2-single-green (CORRECTNESS_r02 only)
+    "simhash_clusters",
+    "embedding_near_dup_pairs",
+    "ann_topk_bruteforce",
+    "ann_lsh_topk",
+    "embedding_centroid_distance",
+    # r3-single-green (CORRECTNESS_r03 only)
+    "cobertura_sucursal_aguas",
+    "cobertura_sucursal_generico",
+    "decontaminate_against_benchmark",
+    "doc_length_percentiles",
+    # new in r5
+    "doc_length_percentiles_approx",
+    "lm_cutoffs_approx",
+}
+
 
 def test_window_is_exactly_the_first_50_entries():
     q = collect_queries()
@@ -38,7 +59,12 @@ def test_window_is_exactly_the_first_50_entries():
 
 
 def test_never_checked_operators_are_inside_the_window():
+    # kept through r5: each needs a second green row on top of its r4 one
     assert NEVER_CHECKED_BEFORE_R4 <= set(DRIVER_WINDOW)
+
+
+def test_r5_rotation_targets_are_inside_the_window():
+    assert R5_MUST_CHECK <= set(DRIVER_WINDOW)
 
 
 def test_every_query_is_oracle_paired():

@@ -107,6 +107,33 @@ def test_shard_assignment_matches_global_sort_oracle(spark):
     assert got == _brute_shards(docs, 500)
 
 
+def test_shard_assignment_is_invariant_in_prefix_width(spark):
+    """VERDICT r4 task 5: the hash-prefix width (16**k buckets) is a
+    pure parallelism knob — 16 buckets (k=1) and 4096 buckets (k=3)
+    must both reproduce the naive global-window oracle exactly, so
+    re-tuning the width for a bigger corpus never changes which shard
+    any document lands in."""
+    import random
+
+    from medallion_etl_spark.operators.selection import shuffle_shard_assign
+
+    rng = random.Random(11)
+    docs = [
+        (i, " ".join(f"w{rng.randrange(40)}" for _ in range(rng.randint(1, 300))))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    want = _brute_shards(docs, 500)
+    for k in (1, 3):
+        got = {
+            r.doc_id: (r.shard, r.global_before)
+            for r in shuffle_shard_assign(
+                df, 500, slot=f"t_shard_w{k}", prefix_chars=k
+            ).collect()
+        }
+        assert got == want, f"prefix_chars={k} diverged from the global oracle"
+
+
 def test_shards_conserve_tokens_and_are_deterministic(spark, sf_tiny):
     from pyspark.sql import functions as F
 
