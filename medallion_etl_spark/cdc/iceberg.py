@@ -75,6 +75,58 @@ def merge_upsert_sql(target: str, source_view: str, key_col: str, cols: list[str
     )
 
 
+def merge_upsert_duckdb_stmts(
+    target: str, source_view: str, key_col: str, cols: list[str]
+) -> list[str]:
+    """EXECUTABLE twin of :func:`merge_upsert_sql` for engines that
+    speak ``INSERT ... ON CONFLICT`` instead of ``MERGE INTO`` —
+    DuckDB 1.x and PostgreSQL, the reference's own upsert primitive
+    (reference stock_transformer.py:99-106). Generated from the SAME
+    (target, source, key, cols) spec so the two renderings cannot
+    drift, and used by tests/test_iceberg_gate.py to RUN the merge
+    semantics end-to-end against a real SQL engine: this sandbox ships
+    no Iceberg runtime jar and has no network for
+    ``spark.jars.packages`` (attempted recipe in BENCH/BASELINE.md),
+    so executing the clause semantics in DuckDB is the strongest
+    available evidence that the generated MERGE does what apply.py's
+    LakeTable path does.
+
+    Returns statements to run in order (one transaction). ``target``
+    needs a UNIQUE constraint on ``key_col``; the NULL-key LWW group
+    (part of merge_upsert_sql's null-safe ``<=>`` contract, though the
+    replay path quarantines NULL keys before any merge) needs the
+    explicit UPDATE/INSERT pair because SQL unique indexes treat NULLs
+    as distinct, so ON CONFLICT can never fire for them. The source
+    view must already be LWW-deduped to one row per key — the same
+    precondition merge_upsert_sql documents (ON CONFLICT refuses to
+    update the same row twice, which conveniently ENFORCES it)."""
+    all_cols = [*cols, "_lsn", "_deleted"]
+    names = ", ".join(all_cols)
+    # the key column never appears in a SET list: its value is pinned
+    # by the match itself, and DuckDB refuses assignments to UNIQUE
+    # columns inside DO UPDATE (merge_upsert_sql's Spark rendering may
+    # include it — there it's a no-op self-assignment)
+    set_cols = [c for c in all_cols if c != key_col]
+    sets = ", ".join(f"{c} = excluded.{c}" for c in set_cols)
+    null_sets = ", ".join(f"{c} = s.{c}" for c in set_cols)
+    return [
+        # non-NULL keys: WHEN MATCHED AND s._lsn > t._lsn THEN UPDATE
+        # + WHEN NOT MATCHED THEN INSERT, as one guarded upsert
+        f"INSERT INTO {target} ({names}) "
+        f"SELECT {names} FROM {source_view} WHERE {key_col} IS NOT NULL "
+        f"ON CONFLICT ({key_col}) DO UPDATE SET {sets} "
+        f"WHERE excluded._lsn > {target}._lsn",
+        # NULL-key group, WHEN MATCHED twin
+        f"UPDATE {target} SET {null_sets} FROM {source_view} s "
+        f"WHERE {target}.{key_col} IS NULL AND s.{key_col} IS NULL "
+        f"AND s._lsn > {target}._lsn",
+        # NULL-key group, WHEN NOT MATCHED twin
+        f"INSERT INTO {target} ({names}) "
+        f"SELECT {names} FROM {source_view} s WHERE s.{key_col} IS NULL "
+        f"AND NOT EXISTS (SELECT 1 FROM {target} WHERE {key_col} IS NULL)",
+    ]
+
+
 def open_table(
     spark: SparkSession,
     root: str,

@@ -348,6 +348,7 @@ def replay(
 
     batches = 0
     rows = 0
+    rebases = 0
     phase_totals: dict[str, float] = {}
 
     def _reload_after_conflict() -> None:
@@ -398,12 +399,19 @@ def replay(
         if not res.get("skipped"):
             batches += 1
             rows += res.get("rows_applied", 0)
+            if res.get("commit_rebased"):
+                rebases += 1
             for phase, sec in res.get("timings", {}).items():
                 phase_totals[phase] = round(phase_totals.get(phase, 0.0) + sec, 3)
     phase_totals["upfront_stats"] = upfront_stats_sec
     out = {
         "batches_applied": batches,
         "rows_applied": rows,
+        # chunks whose conflicted commit was re-issued on a fresh HEAD
+        # without recomputing the merge (apply.py _commit_validated) —
+        # observability for concurrent-writer deployments and the
+        # multi-process OCC tests
+        "commits_rebased": rebases,
         "planned_chunks": len(chunks),
         "phase_totals": phase_totals,
     }
