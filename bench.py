@@ -205,7 +205,13 @@ def run_cdc(
             shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _cdc_only(parallelism: int, n_events: int, n_chunks: int, merge_path: str) -> None:
+def _cdc_only(
+    parallelism: int,
+    n_events: int,
+    n_chunks: int,
+    merge_path: str,
+    events_path: str | None = None,
+) -> None:
     from medallion_etl_spark.session import get_spark
 
     conf = _bench_conf(parallelism)
@@ -231,7 +237,10 @@ def _cdc_only(parallelism: int, n_events: int, n_chunks: int, merge_path: str) -
     # warm-up: pay JVM/codegen JIT before the timed run, else the first
     # chunk's compilation time reads as serial work and skews scaling
     run_cdc(spark, 100_000, n_chunks=1, merge_path=merge_path)
-    res = run_cdc(spark, n_events, n_chunks=n_chunks, merge_path=merge_path)
+    res = run_cdc(
+        spark, n_events, n_chunks=n_chunks, merge_path=merge_path,
+        events_path=events_path,
+    )
     res["parallelism"] = parallelism
     print(json.dumps(res))
     spark.stop()
@@ -247,6 +256,7 @@ def run_scaling(
     out_path: str = "BENCH/scaling.json",
     cluster_jvms: bool = False,
     executor_mem_mb: int = 16384,
+    events_path: str | None = None,
 ) -> dict:
     """Same job at parallelism n_lo and n_hi (the sandbox stand-in for
     N vs 4N executors), fresh JVM each. Levels are interleaved and
@@ -270,11 +280,16 @@ def run_scaling(
                 # driver does bookkeeping only in the agg path; leave
                 # the heap to the executors (p x executor_mem)
                 env["SPARK_GRAFT_DRIVER_MEM"] = "8g"
+            cmd = [sys.executable, os.path.abspath(__file__), "--cdc-only",
+                   "--parallelism", str(p), "--events", str(n_events),
+                   "--chunks", "2", "--merge-path", merge_path]
+            if events_path:
+                # reuse one pre-generated stream across levels/reps —
+                # generation is untimed setup, and at 10^8 events
+                # regenerating it per subprocess dominates wall clock
+                cmd += ["--events-path", events_path]
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--cdc-only",
-                 "--parallelism", str(p), "--events", str(n_events),
-                 "--chunks", "2", "--merge-path", merge_path],
-                capture_output=True, text=True, check=True, env=env,
+                cmd, capture_output=True, text=True, check=True, env=env,
             )
             res = json.loads(proc.stdout.strip().splitlines()[-1])
             if p not in levels or res["events_per_sec"] > levels[p]["events_per_sec"]:
@@ -323,10 +338,14 @@ def main() -> None:
     # closest in-sandbox analog of N vs 4N executor PROCESSES
     ap.add_argument("--cluster-jvms", action="store_true")
     ap.add_argument("--executor-mem-mb", type=int, default=16384)
+    ap.add_argument("--events-path", default=None,
+                    help="pre-generated LSN-ordered events parquet to reuse "
+                         "(--cdc-only / --scaling)")
     args = ap.parse_args()
 
     if args.cdc_only:
-        _cdc_only(args.parallelism, args.events, args.chunks, args.merge_path)
+        _cdc_only(args.parallelism, args.events, args.chunks, args.merge_path,
+                  events_path=args.events_path)
         return
     if args.scaling:
         print(json.dumps(run_scaling(
@@ -334,7 +353,8 @@ def main() -> None:
             reps=args.reps, merge_path=args.merge_path,
             out_path=args.scaling_out,
             cluster_jvms=args.cluster_jvms,
-            executor_mem_mb=args.executor_mem_mb)))
+            executor_mem_mb=args.executor_mem_mb,
+            events_path=args.events_path)))
         return
 
     from medallion_etl_spark.session import get_spark

@@ -83,6 +83,117 @@ def validate_sheet_rows(
     )
 
 
+def _read_xlsx_stdlib(path: str, *, sheet: int | str = 0, skip_rows: int = 0):
+    """Minimal pure-stdlib .xlsx parser (zipfile + ElementTree): the
+    openpyxl-free fallback that makes the Excel source (S5) EXECUTE in
+    engine-less environments like this container. Covers the subset
+    the reference's sheets use — shared strings, inline strings,
+    numbers, booleans, sparse rows addressed by A1-style refs, sheet
+    selection by index or name. Anything fancier (styles, dates-as-
+    numbers beyond raw serials, formulas' cached strings are returned
+    as-is) is out of scope. Every value lands as its raw TEXT (bools
+    normalized to 'true'/'false'): the declared-schema try_cast in
+    ``validate_sheet_rows`` is the one typing contract, exactly as
+    with the pandas engine path — eager numeric parsing here would
+    produce mixed-type object columns Spark's inference can't merge.
+    Returns a pandas DataFrame with the first non-skipped row as
+    header."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    import pandas as pd
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    RELNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+    with zipfile.ZipFile(path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        sheets = [
+            (el.get("name"), el.get(RELNS))
+            for el in wb.iter()
+            if local(el.tag) == "sheet"
+        ]
+        rels: dict[str, str] = {}
+        if "xl/_rels/workbook.xml.rels" in z.namelist():
+            relroot = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+            rels = {
+                el.get("Id"): el.get("Target")
+                for el in relroot.iter()
+                if local(el.tag) == "Relationship"
+            }
+        if isinstance(sheet, str):
+            matches = [i for i, (n, _) in enumerate(sheets) if n == sheet]
+            if not matches:
+                raise ValueError(f"no sheet named {sheet!r} in {path}")
+            sheet_idx = matches[0]
+        else:
+            sheet_idx = sheet
+        _name, rid = sheets[sheet_idx]
+        target = rels.get(rid or "", f"worksheets/sheet{sheet_idx + 1}.xml")
+        target = target.lstrip("/")
+        if not target.startswith("xl/"):
+            target = "xl/" + target
+
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            for si in ET.fromstring(z.read("xl/sharedStrings.xml")).iter():
+                if local(si.tag) == "si":
+                    shared.append(
+                        "".join(t.text or "" for t in si.iter() if local(t.tag) == "t")
+                    )
+
+        rows: list[list] = []
+        for row in ET.fromstring(z.read(target)).iter():
+            if local(row.tag) != "row":
+                continue
+            cells: dict[int, object] = {}
+            for c in row:
+                if local(c.tag) != "c":
+                    continue
+                col = 0
+                for ch in c.get("r") or "":
+                    if ch.isalpha():
+                        col = col * 26 + (ord(ch.upper()) - 64)
+                    else:
+                        break
+                col = col - 1 if col else len(cells)
+                ctype = c.get("t", "n")
+                v: object = None
+                if ctype == "inlineStr":
+                    v = "".join(t.text or "" for t in c.iter() if local(t.tag) == "t")
+                else:
+                    for child in c:
+                        if local(child.tag) == "v":
+                            v = child.text
+                    if v is not None:
+                        if ctype == "s":
+                            v = shared[int(v)]
+                        elif ctype == "b":
+                            # Spark's cast accepts these (case-insensitive)
+                            v = "true" if int(v) else "false"
+                        # "n"/"str": keep the raw TEXT — numbers are
+                        # stored as text in the XML, and typing is the
+                        # declared schema's job (try_cast in
+                        # validate_sheet_rows); eagerly parsing here
+                        # would create mixed int/float/str object
+                        # columns Spark's inference cannot merge
+                cells[col] = v
+            width = max(cells) + 1 if cells else 0
+            rows.append([cells.get(i) for i in range(width)])
+
+    rows = rows[skip_rows:]
+    if not rows:
+        return pd.DataFrame()
+    header = [
+        str(h) if h is not None else f"col{i}" for i, h in enumerate(rows[0])
+    ]
+    width = max([len(header)] + [len(r) for r in rows[1:]])
+    header += [f"col{i}" for i in range(len(header), width)]
+    data = [r + [None] * (width - len(r)) for r in rows[1:]]
+    return pd.DataFrame(data, columns=header)
+
+
 def read_excel_rows(
     spark: SparkSession,
     path: str,
@@ -97,17 +208,23 @@ def read_excel_rows(
     small file), so this goes pandas -> createDataFrame, then applies
     ``validate_sheet_rows`` (skip non-numeric ids, last-wins dedup).
 
-    Gated: raises a clear error if no Excel engine is installed (this
-    container ships none); the validation semantics are covered by
-    tests/test_readers.py via a monkeypatched pandas reader."""
+    Engine resolution: pandas' reader (full-featured) when an engine
+    is installed; otherwise .xlsx files fall back to the pure-stdlib
+    parser above (this container ships no openpyxl — the fallback is
+    what keeps S5 an EXECUTED path here, tests/test_readers.py builds
+    a real workbook and reads it); legacy binary .xls without an
+    engine stays a clear NotImplementedError."""
     import pandas as pd
 
     try:
         pdf = pd.read_excel(path, sheet_name=sheet, skiprows=skip_rows, header=0)
     except ImportError as e:  # openpyxl/xlrd absent
-        raise NotImplementedError(
-            "Excel source needs an engine (openpyxl); not available in this environment"
-        ) from e
+        if not path.lower().endswith((".xlsx", ".xlsm")):
+            raise NotImplementedError(
+                "Excel source needs an engine (openpyxl); not available in this "
+                "environment (pure-stdlib fallback handles .xlsx only)"
+            ) from e
+        pdf = _read_xlsx_stdlib(path, sheet=sheet, skip_rows=skip_rows)
     # tolerate a sheet wider than the schema (trailing junk columns):
     # drop the surplus BEFORE renaming — assigning a shorter name list
     # than the column count is a pandas ValueError
