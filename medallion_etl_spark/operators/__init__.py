@@ -87,8 +87,10 @@ def collect_queries() -> dict[str, tuple[QueryFn, str | None]]:
 # convert/restore [2,3,4], incremental_gold_by_source [2,3,4],
 # cobertura_sucursal_marca [2,3,4], coverage_two_level [1,2,3,4],
 # vocab_top_words [3,4], training_mix_sample [3,4]) rotate OUT — their
-# evidence base is the deepest in the repo. After r5 every queries()
-# entry will have ≥2 green rows. Keep len == 50 and update the
+# evidence base is the deepest in the repo. After an all-green r5 gate
+# every pre-r5 queries() entry has ≥2 green rows (verified against
+# CORRECTNESS_r01-r04: no out-of-window entry has fewer than 2; the
+# two new r5 gates get their first). Keep len == 50 and update the
 # rotation each round; tests/test_driver_contract_window.py pins the
 # invariants.
 DRIVER_WINDOW: tuple[str, ...] = (

@@ -149,6 +149,41 @@ def test_bpe_roundtrip_recovers_normalized_text(spark, sf_tiny, spec):
         assert decode_tokens(list(row.tokens), spec["vocab"]) == want
 
 
+@pytest.mark.parametrize("n_merges", [0, 5, 200])
+def test_bpe_roundtrip_property_over_random_corpora(n_merges):
+    """Hypothesis property: for ANY corpus and ANY merge budget,
+    decode(encode(text)) recovers the whitespace-normalized text for
+    every trained-on document (all symbols in-vocab by construction),
+    ids are dense from 1, and the merge count respects the budget."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.text(alphabet="abcxyz", min_size=1, max_size=6)
+    corpus = st.lists(
+        st.lists(words, min_size=1, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(texts=corpus)
+    def check(texts):
+        spec = train_bpe(texts, n_merges)
+        assert len(spec["merges"]) <= n_merges
+        ids = sorted(spec["vocab"].values())
+        assert ids == list(range(1, len(ids) + 1)), "ids must be dense from 1"
+        ranks = {tuple(m): i for i, m in enumerate(spec["merges"])}
+        cache: dict = {}
+        for t in texts:
+            want = " ".join(w for w in t.lower().split(" ") if w)
+            got = decode_tokens(
+                encode_text(t, ranks, spec["vocab"], cache), spec["vocab"]
+            )
+            assert got == want, (t, got, want)
+
+    check()
+
+
 def test_oov_symbols_map_to_unk(spark, spec):
     df = spark.createDataFrame(
         [(1, "stream zzz9 batch", "s"), (2, "@@@@", "s")],
