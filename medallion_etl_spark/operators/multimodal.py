@@ -54,10 +54,136 @@ META_SCHEMA = T.StructType(
 
 
 def decode_frames(payload: bytes) -> list[bytes]:
-    """Real-codec entry point (ffmpeg/PIL territory). STUB: the
-    container ships no codecs; wire a real decoder here on a cluster
-    image that has one."""
+    """PIXEL/SAMPLE decode entry point (ffmpeg/PIL territory). STUB:
+    the container ships no codecs; wire a real decoder here on a
+    cluster image that has one. Container-level METADATA, by contrast,
+    is real — see :func:`decode_media_meta`."""
     raise NotImplementedError("no image/audio codecs in this environment")
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_media_meta(payload: bytes) -> dict:
+    """REAL container parsing, no codec library needed: PNG (IHDR),
+    GIF (logical screen descriptor + a block walk counting image
+    descriptors — animated GIFs report their true frame count), WAV
+    (RIFF, via the stdlib ``wave`` module). This is the part of the
+    r4 'real codecs missing' gap the standard library can close;
+    entropy-coded pixel/sample decode (JPEG, MP4, ...) remains the
+    documented external plug point (:func:`decode_frames`). Raises
+    NotImplementedError for unrecognized containers — loud, never a
+    guessed answer."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    if payload[:8] == PNG_MAGIC:
+        if payload[12:16] != b"IHDR":
+            raise ValueError("PNG: first chunk is not IHDR")
+        width, height = struct.unpack(">II", payload[16:24])
+        return {
+            "kind": "png",
+            "width": int(width),
+            "height": int(height),
+            "n_frames": 1,
+            "sample_rate": None,
+            "n_channels": None,
+        }
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        width, height = struct.unpack("<HH", payload[6:10])
+        packed = payload[10]
+        pos = 13
+        if packed & 0x80:  # global color table
+            pos += 3 * (2 << (packed & 0x07))
+        frames = 0
+        while pos < len(payload):
+            introducer = payload[pos]
+            pos += 1
+            if introducer == 0x3B:  # trailer
+                break
+            if introducer == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while pos < len(payload) and payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif introducer == 0x2C:  # image descriptor
+                frames += 1
+                lpacked = payload[pos + 8]
+                pos += 9
+                if lpacked & 0x80:  # local color table
+                    pos += 3 * (2 << (lpacked & 0x07))
+                pos += 1  # LZW minimum code size
+                while pos < len(payload) and payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            else:
+                raise ValueError(f"GIF: unknown block 0x{introducer:02x}")
+        return {
+            "kind": "gif",
+            "width": int(width),
+            "height": int(height),
+            "n_frames": frames,
+            "sample_rate": None,
+            "n_channels": None,
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        with wave_mod.open(io.BytesIO(payload)) as wf:
+            return {
+                "kind": "wav",
+                "width": None,
+                "height": None,
+                "n_frames": int(wf.getnframes()),
+                "sample_rate": int(wf.getframerate()),
+                "n_channels": int(wf.getnchannels()),
+            }
+    raise NotImplementedError(
+        "unrecognized media container; wire a real codec (ffmpeg/PIL) in decode_frames"
+    )
+
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+    ]
+)
+
+
+def media_meta(media: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) -> REAL decoded container metadata,
+    Arrow-batched. Same plan shape as multimodal_meta: scan ->
+    mapInPandas, pipelined, no shuffle; payload pruned after this
+    stage. Not driver-oracle-paired (DuckDB cannot parse PNG/GIF/WAV);
+    pinned by tests/test_multimodal_real.py against hand-built real
+    files."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_media_meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    **{
+                        k: [r[k] for r in rows]
+                        for k in (
+                            "kind",
+                            "width",
+                            "height",
+                            "n_frames",
+                            "sample_rate",
+                            "n_channels",
+                        )
+                    },
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_META_SCHEMA)
 
 
 def _fake_decode(payload: bytes) -> tuple[str, int, int, int]:

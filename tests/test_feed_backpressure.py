@@ -97,6 +97,13 @@ def _drain_counted(spark, root, ckpt, limit, stop_after=None, timeout=120):
             q.awaitTermination(30)
         except StreamingQueryException:
             pass  # the sink's deliberate stop-quota crash
+        except Exception as exc:
+            # under a loaded box the same deliberate crash can surface
+            # through other py4j wrapper types (seen once in a 4-shard
+            # run) — swallow ONLY our own quota marker, anything else
+            # is a real failure
+            if "stop quota reached" not in str(exc):
+                raise
     return batches
 
 
