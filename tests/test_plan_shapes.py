@@ -262,3 +262,18 @@ def test_split_assignment_is_scan_speed(spark, sf_small):
     assert "text" not in read_schema
     # exactly the orderBy's range exchange, nothing else
     assert plan(df, mode="simple").count("Exchange") <= 2
+
+
+def test_approx_percentile_gate_is_one_pruned_pass(spark, sf_small):
+    """The bounded-state percentile gate (r5): the sketch AND its
+    exact band bounds compute in ONE aggregate pass over a scan that
+    reads only n_chars — the single exchange is the 1-row partial-agg
+    gather every global aggregate pays. No Python, no text."""
+    from medallion_etl_spark.operators.textops import doc_length_percentiles_approx
+
+    df = doc_length_percentiles_approx(spark, sf_small)
+    p = plan(df)
+    assert "EvalPython" not in p
+    read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "n_chars" in read_schema and "text" not in read_schema
+    assert plan(df, mode="simple").count("Exchange") == 1
