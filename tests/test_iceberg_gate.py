@@ -164,6 +164,37 @@ def test_generated_upsert_sql_executes_to_the_lake_table_state(spark, tmp_path):
         assert not mism, f"column {c}: {len(mism)} mismatches, first: {mism[:3]}"
 
 
+def test_generated_upsert_sql_is_redelivery_idempotent(spark, tmp_path):
+    """The exactly-once-under-redelivery leg of the contract, executed
+    in DuckDB: re-running every chunk a second time (equal LSNs — the
+    strictly-greater guard must no-op them) leaves the state
+    bit-identical to the single-delivery run."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from medallion_etl_spark.synth import gen_events
+
+    ev = gen_events(spark, n_events=1_500, n_keys=200, with_evolution=False)
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    chunks = [
+        ev.filter(f"lsn BETWEEN {lo} AND {hi}")
+        .select(
+            "lsn", "op", "doc_id",
+            F.array_join("tokens", ",").alias("tokens"),
+            "n_tok", "source",
+        )
+        .toPandas()
+        for lo, hi in [(0, 499), (500, 999), (1000, 1499)]
+    ]
+    once = _run_chunks_in_duckdb(chunks, cols)
+    twice = _run_chunks_in_duckdb(
+        [*chunks, *chunks], cols  # full second delivery of every chunk
+    )
+    pd.testing.assert_frame_equal(
+        once.reset_index(drop=True), twice.reset_index(drop=True)
+    )
+
+
 def test_upsert_null_key_group_honors_lww_and_tombstones():
     """The null-safe ``<=>`` leg of the contract, executed: NULL keys
     form ONE LWW group — a higher-LSN tombstone beats the stored row,
